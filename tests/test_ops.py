@@ -1,0 +1,214 @@
+"""Parity tests for core ops.
+
+Oracles are built with torch (CPU) library primitives — grid_sample /
+interpolate — expressing the spec from the reference's pure-PyTorch
+fallback (reference: ops/functions/ms_deform_attn_func.py:52-72), plus
+independent numpy transcriptions of the sine-PE math
+(reference: position_encoding.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from univs_tpu.ops.deformable_attention import ms_deform_attn, ms_deform_attn_reference
+from univs_tpu.ops.position_encoding import SinePositionEncoding3D, sine_pe_1d
+from univs_tpu.ops import mask_ops
+
+
+# ---------------------------------------------------------------------------
+# deformable attention
+# ---------------------------------------------------------------------------
+
+def _torch_msda_oracle(value, shapes, loc, weights):
+    """Spec oracle via torch.grid_sample (align_corners=False, zeros)."""
+    import torch
+    import torch.nn.functional as F
+
+    value = torch.from_numpy(value)
+    loc = torch.from_numpy(loc)
+    weights = torch.from_numpy(weights)
+    N, S, M, D = value.shape
+    _, Lq, _, L, P, _ = loc.shape
+    splits = [h * w for h, w in shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * loc - 1
+    sampled = []
+    for lid, (h, w) in enumerate(shapes):
+        v = value_list[lid].flatten(2).transpose(1, 2).reshape(N * M, D, h, w)
+        g = grids[:, :, :, lid].transpose(1, 2).flatten(0, 1)  # [N*M, Lq, P, 2]
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        sampled.append(s)  # [N*M, D, Lq, P]
+    w_ = weights.transpose(1, 2).reshape(N * M, 1, Lq, L * P)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * w_).sum(-1).view(N, M * D, Lq)
+    return out.transpose(1, 2).contiguous().numpy()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_msda_matches_torch_oracle(seed):
+    rng = np.random.RandomState(seed)
+    shapes = ((6, 8), (3, 4), (2, 2))
+    S = sum(h * w for h, w in shapes)
+    N, M, D, Lq, P = 2, 4, 8, 7, 3
+    L = len(shapes)
+    value = rng.randn(N, S, M, D).astype(np.float32)
+    # include out-of-range locations to exercise zero padding
+    loc = rng.uniform(-0.2, 1.2, size=(N, Lq, M, L, P, 2)).astype(np.float32)
+    w = rng.rand(N, Lq, M, L, P).astype(np.float32)
+    w /= w.reshape(N, Lq, M, -1).sum(-1)[..., None, None]
+
+    expected = _torch_msda_oracle(value, shapes, loc, w)
+
+    got_ref = ms_deform_attn_reference(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+    got = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+
+    np.testing.assert_allclose(np.asarray(got_ref), expected, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4, rtol=1e-4)
+
+
+def test_msda_fused_matches_reference_bf16():
+    rng = np.random.RandomState(3)
+    shapes = ((4, 4), (2, 2))
+    S = sum(h * w for h, w in shapes)
+    N, M, D, Lq, P = 1, 2, 4, 5, 2
+    L = len(shapes)
+    value = rng.randn(N, S, M, D).astype(np.float32)
+    loc = rng.rand(N, Lq, M, L, P, 2).astype(np.float32)
+    w = rng.rand(N, Lq, M, L, P).astype(np.float32)
+    got32 = ms_deform_attn(jnp.array(value), shapes, jnp.array(loc), jnp.array(w))
+    got16 = ms_deform_attn(jnp.array(value, dtype=jnp.bfloat16), shapes, jnp.array(loc), jnp.array(w))
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got16, dtype=np.float32), np.asarray(got32), atol=0.1, rtol=0.1
+    )
+
+
+# ---------------------------------------------------------------------------
+# position encoding
+# ---------------------------------------------------------------------------
+
+def _np_sine_pe_grid(t, h, w, num_feats, mode, num_max_frames=128, t_indices=None):
+    """Independent numpy transcription of the reference PE math."""
+    scale = 2 * np.pi
+    if t_indices is None:
+        t_indices = np.arange(t)
+    if mode == "fixed":
+        z = np.arange(1, t + 1, dtype=np.float32)
+        z = z / (z[-1] + 1e-6) * scale
+    else:
+        z = np.asarray(t_indices, np.float32) / num_max_frames * scale
+    y = np.arange(1, h + 1, dtype=np.float32) / (h + 1e-6) * scale
+    x = np.arange(1, w + 1, dtype=np.float32) / (w + 1e-6) * scale
+
+    def dim_t(n):
+        i = np.arange(n, dtype=np.float32)
+        return 10000.0 ** (2 * (i // 2) / n)
+
+    def enc(vals, n):
+        p = vals[..., None] / dim_t(n)
+        out = np.empty_like(p)
+        out[..., 0::2] = np.sin(p[..., 0::2])
+        out[..., 1::2] = np.cos(p[..., 1::2])
+        return out
+
+    pos_x = enc(x, num_feats)  # [W, F]
+    pos_y = enc(y, num_feats)  # [H, F]
+    pos_z = enc(z, 2 * num_feats)  # [T, 2F]
+    yx = np.concatenate(
+        [np.broadcast_to(pos_y[:, None], (h, w, num_feats)),
+         np.broadcast_to(pos_x[None, :], (h, w, num_feats))], axis=-1)
+    return yx[None] + pos_z[:, None, None, :]
+
+
+@pytest.mark.parametrize("mode", ["fixed", "arbitrary"])
+def test_sine_pe_grid(mode):
+    pe = SinePositionEncoding3D(num_pos_feats=16, mode=mode, num_max_frames=128)
+    t_idx = jnp.array([3, 7, 20])
+    got = pe.grid(3, 5, 6, t_indices=t_idx)
+    want = _np_sine_pe_grid(3, 5, 6, 16, mode, t_indices=np.array([3, 7, 20]))
+    assert got.shape == (3, 5, 6, 32)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_sine_pe_points_shape():
+    pe = SinePositionEncoding3D(num_pos_feats=16, mode="arbitrary")
+    xy = jnp.array([[0.5, 0.5], [0.1, 0.9]])
+    out = pe.points(xy, jnp.array([0, 4]))
+    assert out.shape == (2, 2, 32)
+    assert bool(jnp.isfinite(out).all())
+
+
+# ---------------------------------------------------------------------------
+# mask ops
+# ---------------------------------------------------------------------------
+
+def test_masks_to_boxes():
+    m = np.zeros((3, 10, 12), np.float32)
+    m[0, 2:5, 3:9] = 1
+    m[1, 0:1, 0:1] = 1
+    # m[2] empty
+    b = np.asarray(mask_ops.masks_to_boxes(jnp.array(m)))
+    np.testing.assert_allclose(b[0], [3, 2, 9, 5])
+    np.testing.assert_allclose(b[1], [0, 0, 1, 1])
+    np.testing.assert_allclose(b[2], [0, 0, 0, 0])
+
+
+def test_box_iou_and_giou():
+    a = jnp.array([[0.0, 0, 10, 10]])
+    b = jnp.array([[5.0, 5, 15, 15], [20.0, 20, 30, 30]])
+    iou = np.asarray(mask_ops.box_iou(a, b))
+    np.testing.assert_allclose(iou[0, 0], 25 / 175, atol=1e-6)
+    assert iou[0, 1] == 0
+    giou = np.asarray(mask_ops.generalized_box_iou(a, b))
+    assert giou[0, 1] < 0
+
+
+def test_point_sample_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(4, 6, 8).astype(np.float32)
+    coords = rng.rand(10, 2).astype(np.float32)
+    got = np.asarray(mask_ops.point_sample(jnp.array(feats), jnp.array(coords)))
+    grid = torch.from_numpy(coords)[None, None] * 2 - 1
+    want = F.grid_sample(
+        torch.from_numpy(feats)[None], grid, mode="bilinear", align_corners=False
+    )[0, :, 0].T.numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_nms_keep():
+    boxes = jnp.array(
+        [[0.0, 0, 10, 10], [1.0, 1, 11, 11], [20.0, 20, 30, 30], [0.0, 0, 10, 10]]
+    )
+    scores = jnp.array([0.9, 0.8, 0.7, 0.6])
+    keep = np.asarray(mask_ops.nms_keep(boxes, scores, 0.5))
+    assert keep.tolist() == [True, False, True, False]
+    # validity masking
+    keep2 = np.asarray(
+        mask_ops.nms_keep(boxes, scores, 0.5, valid=jnp.array([False, True, True, True]))
+    )
+    assert keep2.tolist() == [False, True, True, False]
+
+
+def test_mask_iou():
+    a = np.zeros((2, 4, 4), np.float32)
+    a[0, :2] = 1
+    a[1, 2:] = 1
+    iou = np.asarray(mask_ops.mask_iou(jnp.array(a), jnp.array(a)))
+    np.testing.assert_allclose(iou, np.eye(2), atol=1e-6)
+
+
+def test_resize_bilinear_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 7, 9).astype(np.float32)
+    got = np.asarray(mask_ops.resize_bilinear(jnp.array(x), (14, 18)))
+    want = F.interpolate(
+        torch.from_numpy(x)[None], size=(14, 18), mode="bilinear", align_corners=False
+    )[0].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
