@@ -1,0 +1,422 @@
+"""UniVS video transformer decoder, TPU-native.
+
+Functional rebuild of the reference's
+``VideoMultiScaleMaskedTransformerDecoderUniVS``
+(reference: univs/modeling/transformer_decoder/
+video_mask2former_transformer_decoder_univs.py — 9 layers, 200
+learnable + Qp prompt queries, ProCA every layer, masked cross-attn
+over a 3-level round-robin, (Q·T) block-masked self-attn, cosine-sim
+CLIP classification head, mask-einsum head with training-time temporal
+shuffle, l4p mask fusion for grounding at inference).
+
+TPU-first design choices (vs. the torch reference):
+
+- batch-major tokens ``[B*T, Q, C]``; self-attention runs on
+  ``[B, Q*T, C]`` with a static block bias built at trace time
+  (the reference builds a boolean [h*B, QT, QT] every call —
+  decoder_univs.py:824-848);
+- prompt queries are padded to a STATIC Qp with validity masks; the
+  reference instead repeats instances to ``num_max_insts``
+  (prompt_encoder.py:769-778).  Blank/invalid ProCA keys are excluded
+  by additive bias rather than zero-vector keys (the always-valid self
+  token guarantees a well-defined softmax, replacing the reference's
+  NaN-avoiding mean-fill — prompt_encoder.py:835-840);
+- the mask-attention bias ("sigmoid<0.5 disallowed" + all-masked-row
+  fixup, decoder_univs.py:555-566,:390) is folded into one additive
+  fp32 bias computed from the previous layer's mask logits;
+- all predictions for the 10 supervision points are stacked along a
+  leading axis via one scan-free loop (shapes static, XLA fuses).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from univs_tpu.ops.position_encoding import SinePositionEncoding3D
+from univs_tpu.models.transformer_layers import (
+    NEG_INF,
+    CrossAttentionBlock,
+    FFNBlock,
+    MLP,
+    MultiHeadAttention,
+    SelfAttentionBlock,
+)
+from univs_tpu.structures import DecoderOutputs, TextPrompts, VisualPrompts
+
+
+def build_self_attn_bias(num_learnable: int, num_prompt: int, t: int, mask_type: str, task: str):
+    """Static (Q*T, Q*T) additive bias for the spatio-temporal self-attn.
+
+    Token order is q-major (token = q*T + t'), matching the reference's
+    'Q (B T) C -> (Q T) B C' rearrange (decoder_univs.py:408).
+    Semantics per decoder_univs.py:824-848.
+    """
+    if mask_type in ("none", "all"):
+        return None
+    Ql, Qp = num_learnable, num_prompt
+    n = (Ql + Qp) * t
+    disallow = np.ones((n, n), dtype=bool)
+    disallow[: Ql * t, : Ql * t] = False
+    if mask_type == "sep-blocked" or task == "grounding":
+        for k in range(Qp):
+            s = Ql * t + k * t
+            disallow[s : s + t, s : s + t] = False
+    elif mask_type == "sep":
+        disallow[Ql * t :, Ql * t :] = False
+    elif mask_type == "sep-l2p":
+        disallow[Ql * t :, :] = False
+    else:
+        raise ValueError(mask_type)
+    return jnp.where(jnp.asarray(disallow), NEG_INF, 0.0)[None, None]  # [1,1,QT,QT]
+
+
+class UniVSDecoder(nn.Module):
+    """See module docstring.  ``__call__`` signature:
+
+    Args:
+        x_levels: 3 feature maps NHWC ``[B*T, H_l, W_l, C]``
+            ordered coarse->fine ([1/32, 1/16, 1/8]).
+        mask_features: ``[B*T, H/4, W/4, C_mask]``.
+        frame_indices: ``[B, T]`` absolute frame indices (ArbitraryT PE).
+        task: 'detection' | 'sot' | 'grounding' (static).
+        visual_prompts / text_prompts: optional prompt inputs.
+        cls_emb: ``[K, D_text]`` frozen CLIP category embeddings slice
+            (classification bank; required unless task == 'grounding').
+        train: enables temporal query shuffle; rng streams 'shuffle'.
+
+    Returns dict with 'pred_logits', 'pred_masks', 'pred_embds',
+    'aux_outputs' (list of per-layer dicts) and, when training text
+    prompts, 'l2v_attn_weights'.
+    """
+
+    hidden_dim: int = 256
+    num_queries: int = 200
+    num_layers: int = 9
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    pre_norm: bool = False
+    mask_dim: int = 256
+    num_feature_levels: int = 3
+    text_emb_dim: int = 640
+    self_attn_mask_type: str = "sep"
+    num_max_frames: int = 128
+    l4p_fusion: bool = True
+    temporal_query_shuffle: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        C = self.hidden_dim
+        self.query_feat = self.param("query_feat", nn.initializers.normal(1.0), (self.num_queries, C), jnp.float32)
+        self.query_embed = self.param("query_embed", nn.initializers.normal(1.0), (self.num_queries, C), jnp.float32)
+        self.level_embed = self.param("level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, C), jnp.float32)
+        self.cls_temp = self.param("cls_temp", nn.initializers.constant(math.log(1 / 0.07)), (1,), jnp.float32)
+        self.reid_temp = self.param("reid_temp", nn.initializers.constant(math.log(1 / 0.07)), (1,), jnp.float32)
+        # task prompt embeddings (decoder_univs.py:204-206)
+        self.prompt_detection = self.param("prompt_detection", nn.initializers.normal(0.02), (C,), jnp.float32)
+        self.prompt_sot = self.param("prompt_sot", nn.initializers.normal(0.02), (C,), jnp.float32)
+        self.prompt_grounding = self.param("prompt_grounding", nn.initializers.normal(0.02), (C,), jnp.float32)
+
+        self.cross_layers = [
+            CrossAttentionBlock(C, self.num_heads, self.pre_norm, self.dtype, name=f"cross_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.self_layers = [
+            SelfAttentionBlock(C, self.num_heads, self.pre_norm, self.dtype, name=f"self_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.ffn_layers = [
+            FFNBlock(C, self.ffn_dim, self.pre_norm, self.dtype, name=f"ffn_{i}")
+            for i in range(self.num_layers)
+        ]
+        # ProCA: one layer per decoder layer incl. the pre-loop call
+        self.proca_layers = [
+            CrossAttentionBlock(C, self.num_heads, False, self.dtype, name=f"proca_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        self.mask_embed = MLP(C, self.mask_dim, 3, self.dtype, name="mask_embed")
+        self.vis2text = nn.Dense(self.text_emb_dim, dtype=self.dtype, name="vis2text_projection")
+        self.text_norm = nn.LayerNorm(dtype=self.dtype, name="text_norm")
+        self.text2vis = nn.Dense(C, dtype=self.dtype, name="text2vis_projection")
+        self.lang2vision = CrossAttentionBlock(C, self.num_heads, False, self.dtype, name="lang2vision")
+        self.pe3d = SinePositionEncoding3D(
+            num_pos_feats=C // 2, mode="arbitrary", num_max_frames=self.num_max_frames
+        )
+
+    # ------------------------------------------------------------------
+    # prompt encoding front end (decoder_univs.py:599-758)
+    # ------------------------------------------------------------------
+
+    def _encode_text_prompts(
+        self,
+        text_prompts: TextPrompts,
+        src_all: jnp.ndarray,  # [B*T, S, C] concat of all levels
+        task: str,
+        b: int,
+        t: int,
+        need_l2v_weights: bool,
+    ):
+        """Project text embeddings to vision space; optional lang->vision
+        cross-attn (decoder_univs.py:659-744, 760-793).
+
+        Returns (queries [B,Qp,T,C], query_pos, kv [B,Qp,L,T,C],
+        kv_valid [B,Qp,L,T], l2v_weights or None).
+        """
+        B, Qp, L, Dt = text_prompts.embs.shape
+        proj = self.text2vis(self.text_norm(text_prompts.embs.astype(self.dtype)))  # [B,Qp,L,C]
+        # broadcast per frame, run l2v cross-attn with (B*T) batching
+        x = jnp.broadcast_to(proj[:, None], (B, t, Qp, L, proj.shape[-1]))
+        x = x.reshape(b * t, Qp * L, -1)
+        l2v_w = None
+        out = self.lang2vision(x, src_all, return_weights=need_l2v_weights)
+        if need_l2v_weights:
+            x, l2v_w = out  # w: [B*T, Qp*L, S]
+        else:
+            x = out
+        kv = x.reshape(b, t, Qp, L, -1).transpose(0, 2, 3, 1, 4)  # [B,Qp,L,T,C]
+        if task == "detection":
+            sentence = kv[:, :, 0]  # L == 1
+        else:
+            sentence = kv[:, :, 0]  # grounding: sentence token first
+        queries = sentence  # [B, Qp, T, C]
+        if text_prompts.word_valid is not None:
+            kv_valid = jnp.broadcast_to(text_prompts.word_valid[..., None], (B, Qp, L, t))
+        else:
+            kv_valid = jnp.broadcast_to(text_prompts.valid[:, :, None, None], (B, Qp, L, t))
+        return queries, queries, kv, kv_valid, l2v_w
+
+    # ------------------------------------------------------------------
+    # ProCA (decoder_univs.py:456-496)
+    # ------------------------------------------------------------------
+
+    def _proca(
+        self,
+        i: int,
+        output: jnp.ndarray,  # [B*T, Q, C]
+        query_pos: jnp.ndarray,  # [B*T, Q, C]
+        kv: jnp.ndarray,  # [B, Qp, L, T, C]
+        kv_pe: Optional[jnp.ndarray],
+        kv_bias: jnp.ndarray,  # [B*T*Qp, 1, 1, 1+L]
+        b: int,
+        t: int,
+    ) -> jnp.ndarray:
+        Ql = self.num_queries
+        Qp = kv.shape[1]
+        L = kv.shape[2]
+        C = output.shape[-1]
+        out_p = output[:, Ql:]  # [B*T, Qp, C]
+        pos_p = query_pos[:, Ql:]
+
+        # keys: [self; kv] per (B, T, Qp)
+        kv_bt = kv.transpose(0, 3, 1, 2, 4).reshape(b * t, Qp, L, C)
+        keys = jnp.concatenate([out_p[:, :, None], kv_bt], axis=2)  # [B*T, Qp, 1+L, C]
+        keys = keys.reshape(b * t * Qp, 1 + L, C)
+        if kv_pe is not None:
+            pe_bt = kv_pe.transpose(0, 3, 1, 2, 4).reshape(b * t, Qp, L, C)
+            key_pos = jnp.concatenate([pos_p[:, :, None], pe_bt], axis=2).reshape(b * t * Qp, 1 + L, C)
+            q_pos = pos_p.reshape(b * t * Qp, 1, C)
+        else:
+            key_pos, q_pos = None, None
+        q = out_p.reshape(b * t * Qp, 1, C)
+        new_p = self.proca_layers[i](q, keys, query_pos=q_pos, pos=key_pos, bias=kv_bias)
+        new_p = new_p.reshape(b * t, Qp, C)
+        return jnp.concatenate([output[:, :Ql], new_p], axis=1)
+
+    # ------------------------------------------------------------------
+    # prediction heads (decoder_univs.py:498-567)
+    # ------------------------------------------------------------------
+
+    def _prediction_heads(
+        self,
+        output: jnp.ndarray,  # [B*T, Q, C]
+        mask_features: jnp.ndarray,  # [B, T, H, W, Cm]
+        attn_size: Tuple[int, int],
+        task: str,
+        cls_emb: Optional[jnp.ndarray],
+        exp_sentence: Optional[jnp.ndarray],  # [B, Qe, D_text] grounding
+        b: int,
+        t: int,
+        train: bool,
+    ):
+        Q = output.shape[1]
+        dec = self.decoder_norm(output)  # [B*T, Q, C]
+        cls_feats = self.vis2text(dec)  # [B*T, Q, Dt]
+
+        if task != "grounding":
+            k = cls_emb / jnp.maximum(jnp.linalg.norm(cls_emb, axis=-1, keepdims=True), 1e-12)
+            q = cls_feats / jnp.maximum(jnp.linalg.norm(cls_feats, axis=-1, keepdims=True), 1e-12)
+            logits = jnp.einsum("nqc,kc->nqk", q, k.astype(q.dtype))
+            logits = logits.reshape(b, t, Q, -1).mean(axis=1) * jnp.exp(self.cls_temp)
+        else:
+            cf = cls_feats.reshape(b, t, Q, -1).mean(axis=1)
+            logits = jnp.einsum("bqc,bkc->bqk", cf, exp_sentence.astype(cf.dtype))
+            if train:
+                logits = logits / dec.shape[-1]
+
+        membed = self.mask_embed(dec).reshape(b, t, Q, -1)
+        if train and self.temporal_query_shuffle and t > 1:
+            perm = jax.random.permutation(self.make_rng("shuffle"), t)
+            membed = membed[:, perm]
+        masks = jnp.einsum("btqc,bthwc->bqthw", membed, mask_features)
+
+        dec_btqc = dec.reshape(b, t, Q, -1)
+        embds_raw = dec_btqc.transpose(0, 2, 1, 3)  # [B, Q, T, C]
+
+        # l4p fusion (inference grounding): blend best-matching learnable
+        # query's masks into each prompt query's masks (decoder_univs.py:536-551)
+        if (not train) and task == "grounding" and self.l4p_fusion and Q > self.num_queries:
+            norm = dec / jnp.maximum(jnp.linalg.norm(dec, axis=-1, keepdims=True), 1e-12)
+            sim = jnp.einsum("nqc,nkc->nqk", norm, norm[:, self.num_queries :])
+            sim = sim.reshape(b, t, Q, -1).mean(axis=1)  # [B, Q, Qp]
+            l4p_idx = jnp.argmax(sim[:, : self.num_queries], axis=1)  # [B, Qp]
+            learn_masks = jnp.take_along_axis(
+                masks, l4p_idx[:, :, None, None, None], axis=1
+            )  # [B, Qp, T, H, W]
+            fused = (masks[:, self.num_queries :] + learn_masks) / 2.0
+            masks = jnp.concatenate([masks[:, : self.num_queries], fused], axis=1)
+
+        # attention bias for next layer's masked cross-attn
+        m = jax.image.resize(
+            masks.astype(jnp.float32), masks.shape[:3] + attn_size, method="bilinear"
+        )  # [B, Q, T, h, w]
+        allowed = jax.nn.sigmoid(m) >= 0.5
+        # all-masked-row fixup (decoder_univs.py:390): row with nothing
+        # allowed attends everywhere
+        any_allowed = allowed.any(axis=(-2, -1), keepdims=True)
+        allowed = allowed | ~any_allowed
+        bias = jnp.where(
+            allowed.transpose(0, 2, 1, 3, 4).reshape(b * t, 1, Q, -1), 0.0, NEG_INF
+        )  # [B*T, 1, Q, hw]
+        bias = jax.lax.stop_gradient(bias)
+        return logits, masks, embds_raw, bias
+
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        x_levels: Sequence[jnp.ndarray],
+        mask_features: jnp.ndarray,
+        frame_indices: jnp.ndarray,
+        task: str = "detection",
+        visual_prompts: Optional[VisualPrompts] = None,
+        text_prompts: Optional[TextPrompts] = None,
+        cls_emb: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Dict:
+        assert len(x_levels) == self.num_feature_levels
+        C = self.hidden_dim
+        bt = x_levels[0].shape[0]
+        b, t = frame_indices.shape
+        assert b * t == bt, (b, t, bt)
+        hm, wm = mask_features.shape[1:3]
+        mask_features = mask_features.reshape(b, t, hm, wm, -1)
+
+        # --- flatten levels to tokens with 3D PE + level embed ---------
+        srcs, poss, sizes = [], [], []
+        for i, x in enumerate(x_levels):
+            _, h, w, cin = x.shape
+            sizes.append((h, w))
+            # per-video PE (z from absolute frame index)
+            pe = jax.vmap(lambda fi: self.pe3d.grid(t, h, w, t_indices=fi))(frame_indices)
+            poss.append(pe.reshape(bt, h * w, C).astype(self.dtype))
+            assert cin == C, "input_proj is identity (in_channels == hidden_dim)"
+            srcs.append(x.reshape(bt, h * w, C) + self.level_embed[i].astype(self.dtype)[None, None])
+
+        # --- learnable queries ----------------------------------------
+        output = jnp.broadcast_to(self.query_feat.astype(self.dtype)[None], (bt, self.num_queries, C))
+        query_pos = jnp.broadcast_to(self.query_embed.astype(self.dtype)[None], (bt, self.num_queries, C))
+
+        # --- prompt queries -------------------------------------------
+        aux_l2v = None
+        prompts: Optional[VisualPrompts] = None
+        if task in ("detection", "grounding") and text_prompts is not None:
+            src_all = jnp.concatenate(srcs, axis=1)
+            q, qp, kv, kv_valid, aux_l2v = self._encode_text_prompts(
+                text_prompts, src_all, task, b, t, need_l2v_weights=train
+            )
+            prompts = VisualPrompts(
+                queries=q, query_pos=qp, kv=kv, kv_pe=None,
+                kv_valid=kv_valid, valid=text_prompts.valid,
+            )
+            task_emb = self.prompt_detection if task == "detection" else self.prompt_grounding
+        elif visual_prompts is not None:
+            prompts = visual_prompts
+            task_emb = self.prompt_sot
+        Qp = 0
+        kv_bias = None
+        if prompts is not None:
+            Qp = prompts.num_prompts
+            # [B, Qp, T, C] -> [B*T, Qp, C]
+            pq = (prompts.queries + task_emb.astype(self.dtype)).transpose(0, 2, 1, 3).reshape(bt, Qp, C)
+            pqp = prompts.query_pos.transpose(0, 2, 1, 3).reshape(bt, Qp, C)
+            output = jnp.concatenate([output, pq], axis=1)
+            query_pos = jnp.concatenate([query_pos, pqp], axis=1)
+            # ProCA key bias: self token always valid + kv validity
+            L = prompts.kv.shape[2]
+            kvv = prompts.kv_valid.transpose(0, 3, 1, 2).reshape(bt * Qp, L)  # [B*T*Qp, L]
+            ones = jnp.ones((bt * Qp, 1), dtype=bool)
+            kv_bias = jnp.where(
+                jnp.concatenate([ones, kvv], axis=1)[:, None, None, :], 0.0, NEG_INF
+            )
+            # ProCA layer 0 then overwrite prompt query_pos with its output
+            # (decoder_univs.py:360-363)
+            output = self._proca(0, output, query_pos, prompts.kv, prompts.kv_pe, kv_bias, b, t)
+            query_pos = jnp.concatenate([query_pos[:, : self.num_queries], output[:, self.num_queries :]], axis=1)
+
+        exp_sentence = None
+        if task == "grounding" and text_prompts is not None:
+            # sentence embedding per expression in CLIP space (pre-projection)
+            exp_sentence = text_prompts.embs[:, :, 0]  # [B, Qe, Dt]
+
+        # --- initial predictions --------------------------------------
+        logits, masks, embds_raw, attn_bias = self._prediction_heads(
+            output, mask_features, sizes[0], task, cls_emb, exp_sentence, b, t, train
+        )
+        all_preds: List[Tuple] = [(logits, masks, embds_raw)]
+
+        self_bias = build_self_attn_bias(self.num_queries, Qp, t, self.self_attn_mask_type, task)
+
+        # --- decoder loop ---------------------------------------------
+        for i in range(self.num_layers):
+            if prompts is not None and i > 0:
+                output = self._proca(i, output, query_pos, prompts.kv, prompts.kv_pe, kv_bias, b, t)
+
+            li = i % self.num_feature_levels
+            output = self.cross_layers[i](
+                output, srcs[li], query_pos=query_pos, pos=poss[li], bias=attn_bias
+            )
+
+            # (Q*T) spatio-temporal self-attn, token = q*T + t'
+            Qtot = output.shape[1]
+            o = output.reshape(b, t, Qtot, C).transpose(0, 2, 1, 3).reshape(b, Qtot * t, C)
+            qp_ = query_pos.reshape(b, t, Qtot, C).transpose(0, 2, 1, 3).reshape(b, Qtot * t, C)
+            o = self.self_layers[i](o, pos=qp_, bias=self_bias)
+            output = o.reshape(b, Qtot, t, C).transpose(0, 2, 1, 3).reshape(bt, Qtot, C)
+
+            output = self.ffn_layers[i](output)
+
+            logits, masks, embds_raw, attn_bias = self._prediction_heads(
+                output, mask_features, sizes[(i + 1) % self.num_feature_levels],
+                task, cls_emb, exp_sentence, b, t, train,
+            )
+            all_preds.append((logits, masks, embds_raw))
+
+        def to_out(p):
+            # embds are decoder-normed query states (the reference's
+            # pred_embds = decoder_norm(raw output) — decoder_univs.py:436)
+            lg, mk, er = p
+            return {"pred_logits": lg, "pred_masks": mk, "pred_embds": er}
+
+        out = to_out(all_preds[-1])
+        out["aux_outputs"] = [to_out(p) for p in all_preds[:-1]]
+        if aux_l2v is not None:
+            out["l2v_attn_weights"] = aux_l2v
+        if prompts is not None:
+            out["prompt_valid"] = prompts.valid
+        return out

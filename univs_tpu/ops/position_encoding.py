@@ -127,6 +127,24 @@ class SinePositionEncoding3D:
         )  # [H, W, 2F]
         return pos_yx[None] + pos_z[:, None, None, :]  # [T, H, W, 2F]
 
+    def grid2d(self, h: int, w: int) -> jnp.ndarray:
+        """Plain 2D DETR sine PE (no z term) -> [H, W, 2*num_pos_feats].
+
+        Used by the pixel decoder (reference: PositionEmbeddingSine with
+        N_steps=conv_dim//2, normalize=True — msdeformattn.py:242-243).
+        """
+        y, x = self._yx_embed(h, w)
+        dim_t = _dim_t(self.num_pos_feats, self.temperature)
+        pos_x = _interleave_sin_cos(x[:, None] / dim_t)
+        pos_y = _interleave_sin_cos(y[:, None] / dim_t)
+        return jnp.concatenate(
+            [
+                jnp.broadcast_to(pos_y[:, None, :], (h, w, self.num_pos_feats)),
+                jnp.broadcast_to(pos_x[None, :, :], (h, w, self.num_pos_feats)),
+            ],
+            axis=-1,
+        )
+
     def points(self, xy_normalized: jnp.ndarray, t_indices: jnp.ndarray) -> jnp.ndarray:
         """PE for N normalized (x, y) points per frame ->
         [T, N, 2*num_pos_feats].
