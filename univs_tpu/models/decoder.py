@@ -150,6 +150,24 @@ class UniVSDecoder(nn.Module):
         )
 
     # ------------------------------------------------------------------
+    # feature grid for visual prompt sampling
+    # ------------------------------------------------------------------
+
+    def prompt_feature_grid(self, x_finest: jnp.ndarray, frame_indices: jnp.ndarray):
+        """1/8-level src tokens (+level embed) and their 3D PE, as grids.
+
+        The reference's VisualPromptSampler samples from the decoder's
+        projected src/pos of the finest level
+        (prompt_encoder.py:526,:545-550).  x_finest: [B*T, H, W, C];
+        returns (feats [B, T, H, W, C], pos [B, T, H, W, C]).
+        """
+        b, t = frame_indices.shape
+        bt, h, w, C = x_finest.shape
+        feats = x_finest + self.level_embed[self.num_feature_levels - 1].astype(x_finest.dtype)
+        pos = jax.vmap(lambda fi: self.pe3d.grid(t, h, w, t_indices=fi))(frame_indices)
+        return feats.reshape(b, t, h, w, C), pos.astype(x_finest.dtype)
+
+    # ------------------------------------------------------------------
     # prompt encoding front end (decoder_univs.py:599-758)
     # ------------------------------------------------------------------
 
