@@ -1,0 +1,78 @@
+"""End-to-end entity clip-step test: two clips through the tiny model,
+memory pool admission + tracking + prompt re-encoding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from univs_tpu.config import tiny_test_config
+from univs_tpu.inference import memory_pool as mp
+from univs_tpu.inference.entity import EntityClipConfig, entity_clip_step
+from univs_tpu.models.univs import UniVSModel
+from univs_tpu.structures import TextPrompts
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    model = UniVSModel(cfg)
+    T, H, W = 2, 64, 96
+    K = 5
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, T, H, W, 3) * 255, jnp.float32)
+    fi = jnp.arange(T)[None]
+    cls_emb = jnp.asarray(rng.randn(K, cfg.decoder.clip_cls_emb_dim), jnp.float32)
+    tp = TextPrompts(embs=cls_emb[None, :, None, :], valid=jnp.ones((1, K), bool))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, images, fi,
+        task="detection", text_prompts=tp, cls_emb=cls_emb,
+    )
+    return cfg, model, variables["params"], images, cls_emb
+
+
+def test_two_clip_steps(setup):
+    cfg, model, params, images, cls_emb = setup
+    T, H, W = 2, 64, 96
+    E, R = 6, 8
+    cc = EntityClipConfig(
+        num_queries=cfg.decoder.num_queries, topk_candidates=4,
+        num_prev_frames_memory=3, apply_cls_thres=0.0, newly_thres=0.1,
+        consistency_thres=-1.0,  # accept everything (random weights)
+        num_dense_points=R, clip_stride=1, num_frames=T,
+    )
+    pool = mp.create_entity_memory(
+        E, cls_emb.shape[0], cfg.decoder.hidden_dim, (16, 24),
+        window=6, num_prompt_points=R, embd_history=4, prompt_history=4,
+    )
+
+    # backbone features for the clip
+    feats = model.apply(
+        {"params": params}, images.reshape(T, 64, 96, 3),
+        method=lambda m, y: m.backbone(m.normalize(y)),
+    )
+
+    from univs_tpu.models.univs import build_decoder, build_pixel_decoder
+
+    modules = (build_pixel_decoder(cfg), build_decoder(cfg))
+    step = jax.jit(
+        lambda pool, fi, off, first: entity_clip_step(
+            modules, params, feats, pool, fi, off, first, cls_emb, cc
+        )
+    )
+
+    pool1, emit1 = step(pool, jnp.arange(T), jnp.int32(0), jnp.bool_(True))
+    n1 = int(pool1.valid.sum())
+    assert n1 > 0, "first clip must admit entities (cls threshold 0)"
+    assert bool(jnp.isfinite(pool1.mask_logits).all())
+    assert bool(pool1.prompt_valid.any()), "prompts must be re-encoded"
+    assert bool(pool1.first_valid.any())
+
+    pool1 = mp.shift_clip(pool1, stride=1)
+    pool2, emit2 = step(pool1, jnp.arange(1, T + 1), jnp.int32(1), jnp.bool_(False))
+    assert int(pool2.valid.sum()) >= n1
+    assert bool(jnp.isfinite(pool2.mask_logits).all())
+    # logits running mean has counted clips
+    assert float(pool2.logits_count.max()) >= 1
+    # occurrences accumulated within the window
+    assert float(pool2.occurrence.sum()) > 0

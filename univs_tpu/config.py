@@ -146,11 +146,14 @@ class TrainConfig:
     warmup_iters: int = 10
     ema_decay: float = 0.999
     amp_dtype: str = "bfloat16"
-    # loss weights (configs/univs/Base.yaml)
-    class_weight: float = 2.0
+    # loss weights (configs/univs/Base.yaml:37-44)
+    class_weight: float = 5.0
     mask_weight: float = 5.0
     dice_weight: float = 5.0
-    reid_weight: float = 2.0
+    reid_weight: float = 0.5
+    class_weight_matcher: float = 3.0
+    mask_weight_matcher: float = 5.0
+    dice_weight_matcher: float = 5.0
     num_points: int = 12544
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75

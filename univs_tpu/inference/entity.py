@@ -1,0 +1,264 @@
+"""Unified category-guided video inference (VIS / VPS / VSS).
+
+TPU-native rebuild of the reference's ``InferenceVideoEntity``
+(reference: univs/inference/inference_video_entity.py:237-1132).  The
+reference mutates targets dicts with growing tensors and syncs to the
+CPU for scipy Hungarian/NMS every clip; here the whole per-clip step —
+pixel decoder + UniVS decoder with memory-pool prompt queries +
+consistency gating + newly-entity detection (quality scoring, top-k,
+box-NMS, on-device Hungarian) + pool admission + prompt re-encoding —
+is ONE jit'd function over the fixed-capacity
+:class:`~univs_tpu.inference.memory_pool.EntityMemory` pytree.  The
+host loop only slices backbone windows and drains emitted windows.
+
+Threshold pipeline transcribed from the reference (SURVEY §7 "hard
+parts"): consistency 0.25 (x0.5 in the first clip... reference halves
+when first_frame_idx < num_frames), newly-entity match 0.1
+(detect_newly_object_threshold), cls 0.25 (apply_cls_thres; 2x for
+later-clip admission under VPS/'instance' uses apply_cls_thres resp.
+2*apply_cls_thres), box-NMS 0.85, overlap 0.8.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univs_tpu.config import UniVSConfig
+from univs_tpu.inference import memory_pool as mp
+from univs_tpu.ops import mask_ops
+from univs_tpu.prompts.visual_prompt import sample_visual_prompts
+from univs_tpu.structures import TextPrompts, VisualPrompts
+
+
+def mask_quality_scores(mask_logits: jnp.ndarray) -> jnp.ndarray:
+    """Stability score of predicted masks: IoU between thresholded
+    versions at +-1 logit (the reference's calculate_mask_quality_scores
+    — univs/utils/comm.py)."""
+    m_hi = (mask_logits > 1.0).reshape(mask_logits.shape[0], -1).astype(jnp.float32)
+    m_lo = (mask_logits > -1.0).reshape(mask_logits.shape[0], -1).astype(jnp.float32)
+    inter = (m_hi * m_lo).sum(-1)
+    union = jnp.maximum(m_lo.sum(-1), 1.0)
+    return inter / union
+
+
+@dataclass(frozen=True)
+class EntityClipConfig:
+    """Static knobs for the jit'd clip step."""
+
+    num_queries: int = 200
+    topk_candidates: int = 25  # test_topk_per_image
+    num_prev_frames_memory: int = 5
+    apply_cls_thres: float = 0.25
+    newly_thres: float = 0.1  # detect_newly_object_threshold
+    consistency_thres: float = 0.25  # temporal_consistency_threshold
+    nms_thres: float = 0.85  # box_nms_thresh
+    overlap_thres: float = 0.8  # overlap_threshold_entity
+    stability_thres: float = 0.0
+    num_dense_points: int = 128
+    clip_stride: int = 1
+    num_frames: int = 5
+
+
+def entity_clip_step(
+    modules,  # (pixel_decoder, decoder) flax modules — see models.univs.build_*
+    params,
+    features: Dict[str, jnp.ndarray],  # backbone maps for the clip [T, h, w, c]
+    pool: mp.EntityMemory,
+    frame_indices: jnp.ndarray,  # [T] absolute
+    clip_offset: jnp.ndarray,  # scalar: first clip frame - window_start
+    is_first_clip: jnp.ndarray,  # scalar bool
+    cls_emb: jnp.ndarray,  # [K, Dt] category bank slice
+    cc: EntityClipConfig,
+) -> Tuple[mp.EntityMemory, Dict[str, jnp.ndarray]]:
+    """One clip of category-guided inference. Pure/jittable."""
+    pixel_decoder, decoder = modules
+    T = frame_indices.shape[0]
+    E = pool.capacity
+    K = cls_emb.shape[0]
+
+    # ---- pixel decoder -------------------------------------------------
+    mask_features, _, _, ms = pixel_decoder.apply(
+        {"params": params["pixel_decoder"]}, features
+    )
+    fi = frame_indices[None]  # B=1
+
+    # ---- memory-pool prompt queries ------------------------------------
+    kv, kv_pe, kv_valid = mp.read_prompt_kv(pool, cc.num_prev_frames_memory)
+    L = kv.shape[1]
+    vp = VisualPrompts(
+        queries=_masked_mean(kv, kv_valid)[:, None].repeat(T, 1)[None],
+        query_pos=_masked_mean(kv_pe, kv_valid)[:, None].repeat(T, 1)[None],
+        kv=jnp.broadcast_to(kv[None, :, :, None], (1, E, L, T, kv.shape[-1])),
+        kv_pe=jnp.broadcast_to(kv_pe[None, :, :, None], (1, E, L, T, kv.shape[-1])),
+        kv_valid=jnp.broadcast_to(kv_valid[None, :, :, None], (1, E, L, T)),
+        valid=pool.valid[None],
+    )
+
+    out = decoder.apply(
+        {"params": params["decoder"]},
+        ms, mask_features, fi, task="sot", visual_prompts=vp, cls_emb=cls_emb,
+    )
+    Ql = cc.num_queries
+    logits = jax.nn.sigmoid(out["pred_logits"][0].astype(jnp.float32))  # [Q, K]
+    masks = out["pred_masks"][0].astype(jnp.float32)  # [Q, T, H4, W4]
+    embds = out["pred_embds"][0].astype(jnp.float32)  # [Q, T, C]
+
+    logits_l, logits_p = logits[:Ql], logits[Ql:]
+    masks_l, masks_p = masks[:Ql], masks[Ql:]
+    embds_l, embds_p = embds[:Ql], embds[Ql:]
+
+    # ---- step 1: update tracked entities from prompt queries ----------
+    thr = jnp.where(is_first_clip | (frame_indices[0] < cc.num_frames),
+                    cc.consistency_thres * 0.5, cc.consistency_thres)
+    is_cons, sim_cons = mp.consistency_gate(
+        pool, embds_p, max(cc.num_prev_frames_memory // max(cc.clip_stride, 1), 3), thr
+    )
+    q_p = mask_quality_scores(masks_p)
+
+    # VIS overlap resolution (reference :477-491)
+    scores_track = (pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None]).max(-1)
+    cur_scores = scores_track * sim_cons * q_p  # [E]
+    prob = jax.nn.sigmoid(masks_p).reshape(E, -1)
+    is_bg = (prob < 0.5).all(0)
+    owner = jnp.argmax(cur_scores[:, None] * prob, axis=0)
+    owner = jnp.where(is_bg, -1, owner)
+    own_mask = owner[None, :] == jnp.arange(E)[:, None]
+    orig_area = jnp.maximum((prob > 0.5).sum(-1), 1)
+    own_area = own_mask.sum(-1)
+    above_ratio = (own_area / orig_area) > cc.overlap_thres
+    mask_over = (own_mask & (prob > 0.5)).any(-1)
+    update = is_cons & above_ratio & mask_over
+
+    pool = mp.accumulate_clip_masks(
+        pool, clip_offset, masks_p, embds_p.mean(1), update, q_p
+    )
+
+    # ---- step 2: detect newly entities from learnable queries ---------
+    q_l = mask_quality_scores(masks_l)
+    scored = logits_l * q_l[:, None]
+    cand_ok = q_l > cc.stability_thres if cc.stability_thres > 0 else jnp.ones((Ql,), bool)
+    nms_scores = jnp.where(cand_ok, scored.max(-1), -1.0)
+    top_vals, top_idx = jax.lax.top_k(nms_scores, cc.topk_candidates)
+    c_logits = scored[top_idx]
+    c_masks = masks_l[top_idx]
+    c_embds = embds_l[top_idx]
+    c_quality = q_l[top_idx]
+    c_valid = top_vals > 0
+
+    H4, W4 = c_masks.shape[-2:]
+    c_boxes_t = mask_ops.masks_to_boxes(c_masks > 0) / jnp.array([W4, H4, W4, H4], jnp.float32)
+    # NMS on per-frame box IoU max over time (reference :551-559)
+    biou = jax.vmap(mask_ops.box_iou, in_axes=(1, 1), out_axes=2)(c_boxes_t, c_boxes_t).max(-1)
+    order_scores = jnp.where(c_valid, c_logits.max(-1), -1.0)
+    keep = mask_ops.nms_keep_from_iou(biou, order_scores, cc.nms_thres, c_valid)
+    c_valid = c_valid & keep
+
+    # match candidates to memory (bisoftmax-free cosine variant, :600-603)
+    cand2slot, matched_sim = mp.match_candidates_to_memory(
+        pool, c_embds, c_valid, cc.newly_thres, use_norm=True
+    )
+    matched = (matched_sim > cc.newly_thres) & (cand2slot >= 0) & c_valid
+    # update matched entities' logits/embds from learnable queries (:609-612)
+    slot = jnp.clip(cand2slot, 0)
+    upd_logits = 0.5 * (pool.logits_last[slot] + c_logits)
+    logits_last = mp._scatter_where(pool.logits_last, cand2slot, upd_logits, matched)
+    old_emb = pool.embds[slot, -1]
+    nonblank = (old_emb != 0).any(-1)
+    new_emb = (old_emb + c_embds.mean(1)) / (nonblank[:, None].astype(jnp.float32) + 1.0)
+    embds_new = pool.embds.at[:, -1].set(
+        mp._scatter_where(pool.embds[:, -1], cand2slot, new_emb, matched)
+    )
+    pool = pool.replace(logits_last=logits_last, embds=embds_new)
+    # strong matches also add their masks (:618-629)
+    strong = (matched_sim > 2 * cc.newly_thres) & matched
+    pool = _accumulate_candidate_masks(pool, clip_offset, c_masks, c_quality, cand2slot, strong)
+
+    # newly = unmatched, confident, low overlap with existing masks (:641-646)
+    win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
+    pool_bin = (win > 0).reshape(E, -1)
+    cand_bin = (c_masks > 0).reshape(cc.topk_candidates, -1)
+    inter = (cand_bin[:, None] & pool_bin[None]).sum(-1)
+    union = jnp.maximum(cand_bin.sum(-1)[:, None] + pool_bin.sum(-1)[None] - inter, 1)
+    miou_max = jnp.where(pool.valid[None], inter / union, 0.0).max(-1)
+    conf = c_logits.max(-1)
+    cls_gate = jnp.where(is_first_clip, jnp.maximum(cc.apply_cls_thres, 0.1), cc.apply_cls_thres)
+    is_new = c_valid & ~matched & (conf > cls_gate) & jnp.where(is_first_clip, True, miou_max < 0.5)
+
+    pool = mp.admit_entities(
+        pool, clip_offset, frame_indices[0], c_masks, c_logits,
+        c_embds.mean(1), c_quality, is_new,
+    )
+
+    # ---- step 3: re-encode prompts from committed frames --------------
+    # (reference: VisualPromptSampler.process_per_video_inference —
+    #  update_frames = 1 on the first clip else T - clip_stride)
+    grid_feats, grid_pos = decoder.apply(
+        {"params": params["decoder"]}, ms[-1], fi, method="prompt_feature_grid"
+    )
+    n_update = jnp.where(is_first_clip, 1, T - cc.clip_stride)
+    pool = _reencode_prompts(
+        pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc
+    )
+
+    emit = {
+        "logits_mean": pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None],
+        "valid": pool.valid,
+        "quality_sum": pool.quality_sum,
+    }
+    return pool, emit
+
+
+def _masked_mean(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """[E, L, C], [E, L] -> [E, C]."""
+    denom = jnp.maximum(valid.sum(-1, keepdims=True), 1)
+    return (x * valid[..., None]).sum(1) / denom
+
+
+def _accumulate_candidate_masks(pool, clip_offset, c_masks, c_quality, cand2slot, gate):
+    """Scatter candidate mask logits onto their matched pool slots."""
+    E = pool.capacity
+    Qc, T = c_masks.shape[:2]
+    win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
+    occ = jax.lax.dynamic_slice_in_dim(pool.occurrence, clip_offset, T, axis=1)
+    nonblank = (c_masks > 0).any(axis=(-2, -1)).astype(occ.dtype)  # [Qc, T]
+    add_m = jnp.zeros_like(win)
+    add_o = jnp.zeros_like(occ)
+    idx = jnp.where(gate, cand2slot, E)
+    add_m = add_m.at[idx].add(c_masks.astype(win.dtype), mode="drop")
+    add_o = add_o.at[idx].add(nonblank, mode="drop")
+    ml = jax.lax.dynamic_update_slice_in_dim(pool.mask_logits, win + add_m, clip_offset, axis=1)
+    oc = jax.lax.dynamic_update_slice_in_dim(pool.occurrence, occ + add_o, clip_offset, axis=1)
+    qs = pool.quality_sum.at[idx].add(c_quality, mode="drop")
+    return pool.replace(mask_logits=ml, occurrence=oc, quality_sum=qs)
+
+
+def _reencode_prompts(pool, grid_feats, grid_pos, clip_offset, n_update, T, cc: EntityClipConfig):
+    """Re-encode visual (mask) prompts for the committed frames of this
+    clip and write them into the prompt ring
+    (reference: prompt_encoder.py:877-946, prompt_type='masks')."""
+    E = pool.capacity
+    Fp = pool.prompt_feats.shape[2]
+    H4, W4 = pool.mask_logits.shape[-2:]
+    for k in range(T):  # static loop; gated by k < n_update
+        do = k < n_update
+        win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset + k, 1, axis=1)[:, 0]
+        occ = jax.lax.dynamic_slice_in_dim(pool.occurrence, clip_offset + k, 1, axis=1)[:, 0]
+        msk = (win > 0).astype(jnp.float32)
+        boxes = mask_ops.masks_to_boxes(msk) / jnp.array([W4, H4, W4, H4], jnp.float32)
+        occur = msk.any(axis=(-2, -1))
+        sample = sample_visual_prompts(
+            grid_feats[k], grid_pos[k], msk, boxes, occur,
+            jnp.full((E,), 2, jnp.int32),  # mask prompts
+            cc.num_dense_points, rng=None, train=False,
+        )
+        # ring slot: the prompt ring's last T slots correspond to this clip
+        slot = Fp - T + k
+        gate = jnp.asarray(do) & pool.valid & occur
+        pool = mp.write_prompt_frame(pool, slot, sample.kv, sample.kv_pe, sample.kv_valid, gate)
+    return pool

@@ -31,40 +31,40 @@ from univs_tpu.prompts.visual_prompt import (
 from univs_tpu.structures import TextPrompts, VisualPrompts, make_visual_prompts
 
 
+def compute_dtype_of(cfg: UniVSConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+def build_pixel_decoder(cfg: UniVSConfig, name=None) -> MSDeformAttnPixelDecoder:
+    c = cfg.pixel_decoder
+    return MSDeformAttnPixelDecoder(
+        hidden_dim=c.hidden_dim, mask_dim=c.mask_dim, num_layers=c.num_layers,
+        num_heads=c.num_heads, num_points=c.num_points, ffn_dim=c.ffn_dim,
+        dtype=compute_dtype_of(cfg), name=name,
+    )
+
+
+def build_decoder(cfg: UniVSConfig, name=None) -> UniVSDecoder:
+    c = cfg.decoder
+    return UniVSDecoder(
+        hidden_dim=c.hidden_dim, num_queries=c.num_queries, num_layers=c.num_layers,
+        num_heads=c.num_heads, ffn_dim=c.ffn_dim, pre_norm=c.pre_norm,
+        mask_dim=c.mask_dim, text_emb_dim=c.clip_cls_emb_dim,
+        self_attn_mask_type=c.self_attn_mask_type, num_max_frames=c.num_max_frames,
+        l4p_fusion=c.l4p_fusion, temporal_query_shuffle=c.temporal_query_shuffle,
+        dtype=compute_dtype_of(cfg), name=name,
+    )
+
+
 class UniVSModel(nn.Module):
     cfg: UniVSConfig
 
     def setup(self):
         c = self.cfg
-        dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
-        self.compute_dtype = dtype
-        self.backbone = build_backbone(c.backbone, dtype=dtype)
-        self.pixel_decoder = MSDeformAttnPixelDecoder(
-            hidden_dim=c.pixel_decoder.hidden_dim,
-            mask_dim=c.pixel_decoder.mask_dim,
-            num_layers=c.pixel_decoder.num_layers,
-            num_heads=c.pixel_decoder.num_heads,
-            num_points=c.pixel_decoder.num_points,
-            ffn_dim=c.pixel_decoder.ffn_dim,
-            dtype=dtype,
-            name="pixel_decoder",
-        )
-        self.decoder = UniVSDecoder(
-            hidden_dim=c.decoder.hidden_dim,
-            num_queries=c.decoder.num_queries,
-            num_layers=c.decoder.num_layers,
-            num_heads=c.decoder.num_heads,
-            ffn_dim=c.decoder.ffn_dim,
-            pre_norm=c.decoder.pre_norm,
-            mask_dim=c.decoder.mask_dim,
-            text_emb_dim=c.decoder.clip_cls_emb_dim,
-            self_attn_mask_type=c.decoder.self_attn_mask_type,
-            num_max_frames=c.decoder.num_max_frames,
-            l4p_fusion=c.decoder.l4p_fusion,
-            temporal_query_shuffle=c.decoder.temporal_query_shuffle,
-            dtype=dtype,
-            name="decoder",
-        )
+        self.compute_dtype = compute_dtype_of(c)
+        self.backbone = build_backbone(c.backbone, dtype=self.compute_dtype)
+        self.pixel_decoder = build_pixel_decoder(c, name="pixel_decoder")
+        self.decoder = build_decoder(c, name="decoder")
 
     # ------------------------------------------------------------------
 

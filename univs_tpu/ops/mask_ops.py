@@ -171,6 +171,23 @@ def get_uncertain_point_coords(
 # NMS (jittable, fixed size)
 # ---------------------------------------------------------------------------
 
+def nms_keep_from_iou(iou: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Greedy NMS given a precomputed pairwise IoU matrix [N, N]."""
+    N = iou.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), dtype=bool)
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
+    iou_s = iou[order][:, order]
+    v = valid[order]
+
+    def body(i, keep):
+        sup = (iou_s[i] > iou_thres) & keep & (jnp.arange(N) < i)
+        return keep.at[i].set(keep[i] & ~sup.any())
+
+    keep_sorted = jax.lax.fori_loop(0, N, body, v)
+    return keep_sorted[jnp.argsort(order)]
+
+
 def nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy NMS over a fixed-size set -> boolean keep mask [N].
 
@@ -178,23 +195,7 @@ def nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, valid: j
     reference's ``batched_nms`` use for newly-entity dedup
     (inference_video_entity.py:517-652, nms_thres 0.85).
     """
-    N = boxes.shape[0]
-    if valid is None:
-        valid = jnp.ones((N,), dtype=bool)
-    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf))
-    b = boxes[order]
-    v = valid[order]
-    iou = box_iou(b, b)
-
-    def body(i, keep):
-        # keep[i] stays True only if no earlier kept box overlaps > thr
-        sup = (iou[i] > iou_thres) & keep & (jnp.arange(N) < i)
-        return keep.at[i].set(keep[i] & ~sup.any())
-
-    keep0 = v
-    keep_sorted = jax.lax.fori_loop(0, N, body, keep0)
-    inv = jnp.argsort(order)
-    return keep_sorted[inv]
+    return nms_keep_from_iou(box_iou(boxes, boxes), scores, iou_thres, valid)
 
 
 # ---------------------------------------------------------------------------
