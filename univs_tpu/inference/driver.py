@@ -1,0 +1,243 @@
+"""Host-side video inference drivers: windowed backbone + clip loop +
+window emission.
+
+Orchestrates the jit'd per-clip step (inference/entity.py) over a full
+video, mirroring the reference's ``InferenceVideoEntity.inference_video``
+control flow (reference: inference_video_entity.py:283-431): backbone
+features computed once per ``num_frames_window`` frames and sliced per
+clip; results emitted per ``num_frames_window_output`` frames with
+window eviction.  Only three things happen on the host: window
+slicing, fetching emitted mask windows, and RLE/JSON writing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from univs_tpu.config import UniVSConfig
+from univs_tpu.inference import memory_pool as mp
+from univs_tpu.inference.entity import EntityClipConfig, entity_clip_step
+from univs_tpu.models.univs import (
+    build_backbone,
+    build_decoder,
+    build_pixel_decoder,
+    compute_dtype_of,
+)
+from univs_tpu.utils import rle
+
+
+class EntityDriver:
+    """Category-guided VIS/VPS/VSS over one video.
+
+    Args:
+        cfg: UniVSConfig
+        params: model params (the UniVSModel param tree)
+        num_classes: K of the dataset's category slice
+        capacity: entity slots E
+    """
+
+    def __init__(self, cfg: UniVSConfig, params, num_classes: int,
+                 capacity: int = 40, thing_class_ids: Optional[Sequence[int]] = None):
+        self.cfg = cfg
+        self.params = params
+        self.num_classes = num_classes
+        self.capacity = capacity
+        self.thing_class_ids = set(thing_class_ids or [])
+        inf = cfg.inference
+        self.T = inf.num_frames
+        self.stride = inf.clip_stride
+        self.window = inf.num_frames_window
+        self.out_window = max(self.window - self.T, self.T)
+        self.cc = EntityClipConfig(
+            num_queries=cfg.decoder.num_queries,
+            topk_candidates=inf.topk_per_video,
+            num_prev_frames_memory=inf.num_prev_frames_memory,
+            apply_cls_thres=inf.apply_cls_thres,
+            newly_thres=inf.newly_entity_thres,
+            consistency_thres=inf.consistency_thres[0],
+            nms_thres=inf.nms_thres,
+            num_dense_points=cfg.prompt.num_dense_points_test,
+            clip_stride=self.stride,
+            num_frames=self.T,
+        )
+        dtype = compute_dtype_of(cfg)
+        self._backbone = build_backbone(cfg.backbone, dtype=dtype)
+        self._modules = (build_pixel_decoder(cfg), build_decoder(cfg))
+        mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+        std = jnp.asarray(cfg.pixel_std, jnp.float32)
+
+        @jax.jit
+        def backbone_fn(params, frames):
+            x = ((frames - mean) / std).astype(dtype)
+            return self._backbone.apply({"params": params["backbone"]}, x)
+
+        self._backbone_fn = backbone_fn
+
+        @functools.partial(jax.jit, static_argnames=())
+        def clip_fn(params, feats, pool, frame_indices, clip_offset, is_first, cls_emb):
+            return entity_clip_step(
+                self._modules, params, feats, pool, frame_indices,
+                clip_offset, is_first, cls_emb, self.cc,
+            )
+
+        self._clip_fn = clip_fn
+
+        @jax.jit
+        def shift_fn(pool):
+            return mp.shift_clip(pool, self.stride)
+
+        self._shift_fn = shift_fn
+
+        @functools.partial(jax.jit, static_argnames=("out_frames",))
+        def emit_fn(pool, out_frames: int):
+            masks = pool.mask_logits[:, :out_frames]
+            occ = jnp.maximum(pool.occurrence[:, :out_frames], 1.0)
+            masks = masks / occ[:, :, None, None]
+            return masks.astype(jnp.float16), mp.evict_window(pool, out_frames)
+
+        self._emit_fn = emit_fn
+
+    # ------------------------------------------------------------------
+
+    def run_vis(self, frames: np.ndarray, cls_emb: jnp.ndarray,
+                image_size=None, out_size=None) -> List[Dict]:
+        """frames: [V, H, W, 3] raw RGB (padded to divisibility).
+        Returns per-entity dicts with per-frame RLEs + class scores
+        matching the reference's results_list contract
+        (inference_video_entity.py:914-961)."""
+        V, H, W = frames.shape[:3]
+        image_size = image_size or (H, W)
+        out_size = out_size or image_size
+        mask_hw = (H // 4, W // 4)
+
+        pool = mp.create_entity_memory(
+            self.capacity, self.num_classes, self.cfg.decoder.hidden_dim,
+            mask_hw, window=self.out_window + self.T,
+            num_prompt_points=self.cc.num_dense_points,
+            embd_history=8,
+            prompt_history=self.T + self.stride,
+        )
+
+        frames_j = jnp.asarray(frames, jnp.float32)
+        feats_window = None
+        window_range = (0, 0)
+        emitted: List[np.ndarray] = []
+        emit_starts: List[int] = []
+        emitted_total = 0
+
+        is_last = False
+        i = 0
+        first = True
+        while i < V and not is_last:
+            is_last = i + self.T >= V
+            clip_end = min(i + self.T, V)
+            clip_idx = np.arange(i, i + self.T)
+            clip_idx = np.minimum(clip_idx, V - 1)  # clamp tail (repeat last)
+
+            if i + self.T > window_range[1]:
+                ws = i
+                we = min(i + self.window, V)
+                idx = np.minimum(np.arange(ws, ws + self.window), V - 1)
+                feats_window = self._backbone_fn(self.params, frames_j[idx])
+                window_range = (ws, ws + self.window)
+
+            rel = clip_idx - window_range[0]
+            feats = {k: v[rel] for k, v in feats_window.items()}
+
+            clip_offset = jnp.int32(i - emitted_total)
+            pool, _ = self._clip_fn(
+                self.params, feats, pool, jnp.asarray(clip_idx),
+                clip_offset, jnp.bool_(first), cls_emb,
+            )
+            first = False
+
+            # emit full output windows
+            while (i + self.T - emitted_total) >= (self.out_window + self.T) or (
+                is_last and emitted_total < V
+            ):
+                n_out = self.out_window if not is_last else min(V - emitted_total, self.out_window + self.T)
+                masks, pool = self._emit_fn(pool, self.out_window + self.T)
+                masks = np.asarray(masks[:, :n_out])
+                emitted.append(masks)
+                emit_starts.append(emitted_total)
+                emitted_total += n_out
+                if is_last and emitted_total >= V:
+                    break
+
+            if not is_last:
+                pool = self._shift_fn(pool)
+            i += self.stride
+
+        # assemble per-entity results
+        valid = np.asarray(pool.valid)
+        scores = np.asarray(pool.logits_sum / np.maximum(np.asarray(pool.logits_count), 1)[:, None])
+        results = []
+        for e in range(self.capacity):
+            if not valid[e]:
+                continue
+            segs = [None] * V
+            for win_masks, start in zip(emitted, emit_starts):
+                m = win_masks[e]  # [n, H4, W4] fp16 logits
+                up = _upsample_and_threshold(m, image_size, out_size, (H, W))
+                for k in range(up.shape[0]):
+                    if start + k < V:
+                        segs[start + k] = rle.encode(up[k])
+            blank = rle.encode(np.zeros(out_size, np.uint8))
+            segs = [s if s is not None else blank for s in segs]
+            results.append({"obj_id": e, "score": scores[e], "segmentations": segs})
+        return results
+
+
+def _upsample_and_threshold(mask_logits: np.ndarray, image_size, out_size, padded_size) -> np.ndarray:
+    """[n, H4, W4] logits -> [n, out_h, out_w] uint8 via bilinear,
+    cropping padded regions first (reference: save_results_vis:932-939)."""
+    import torch
+    import torch.nn.functional as F
+
+    m = torch.from_numpy(mask_logits.astype(np.float32))[None]
+    m = F.interpolate(m, size=padded_size, mode="bilinear", align_corners=False)
+    m = m[:, :, : image_size[0], : image_size[1]]
+    m = F.interpolate(m, size=out_size, mode="bilinear", align_corners=False)
+    return (m[0] > 0).numpy().astype(np.uint8)
+
+
+def vis_results_to_ytvis_json(
+    video_id, video_len: int, height: int, width: int,
+    results: List[Dict], apply_cls_thresh: float = 0.05, topk_per_video: int = 25,
+) -> List[Dict]:
+    """Per-entity windows -> YTVIS-format per-(entity, class) records
+    (reference: inference/comm.py:97-195, incl. temporal-consistency
+    score weighting comm.py:197-207 simplified to the per-video mean)."""
+    out = []
+    scores_all = []
+    num_above = 0
+    for res in results:
+        scores = np.asarray(res["score"], np.float32)  # [K]
+        nonblank = np.array([rle.area(s) > 0 for s in res["segmentations"]])
+        quality = max(float(nonblank.sum()) / max(video_len, 1), 0.1)
+        for c in range(scores.shape[0]):
+            if scores[c] < 0.1 * apply_cls_thresh:
+                continue
+            s = float(scores[c]) * quality
+            out.append({
+                "video_id": video_id,
+                "score": s,
+                "category_id": int(c),
+                "segmentations": res["segmentations"],
+                "height": height,
+                "width": width,
+            })
+            scores_all.append(s)
+            if scores[c] > apply_cls_thresh:
+                num_above += 1
+    if scores_all:
+        scores_all.sort(reverse=True)
+        k = max(int(num_above * 1.5), topk_per_video)
+        thr = scores_all[min(k, len(scores_all) - 1)]
+        out = [r for r in out if r["score"] >= thr]
+    return out

@@ -1,0 +1,213 @@
+"""Prompt-guided inference: VOS / PVOS (visual prompts) and RefVOS
+(text prompts).
+
+TPU-native rebuild of the reference's ``InferenceVideoVOS``
+(reference: univs/inference/inference_video_vos.py:203-714).  The
+number of target objects is known up front (GT first-frame masks or
+referring expressions), so the pool uses exactly N slots; GT masks are
+injected into the mask window at each object's first-appearance frame
+(write_targets_into_annotations_per_clip :533-620) and the model
+re-segments via prompt queries; matched prompt outputs are written back
+as pseudo-GT that drives the next clip's prompts
+(write_predictions_into_annotations_per_clip :286-531, prompt-only
+default path ``video_unified_inference_queries='prompt'``).
+
+Update rules transcribed: first-appear objects take prompt-query masks
+with inter-object argmax resolution weighted by mIoU^2 x quality and an
+mIoU floor of 0.15 x area factor (:373-394); appeared objects are gated
+by embedding consistency (0.5), resolved by sim^2 x quality argmax with
+mask-area ratio > 0.25 (:498-520), then ADD-accumulated
+(gt_mask_logits += masks :522) with (old+new)/(nonblank+1) embds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from univs_tpu.inference import memory_pool as mp
+from univs_tpu.inference.entity import mask_quality_scores, _masked_mean, _reencode_prompts, EntityClipConfig
+from univs_tpu.ops import mask_ops
+from univs_tpu.structures import TextPrompts, VisualPrompts
+
+
+def inject_gt_first_appearance(
+    pool: mp.EntityMemory,
+    gt_masks_clip: jnp.ndarray,  # [N, T, H4, W4] binary (zeros if faf not in clip)
+    faf: jnp.ndarray,  # [N] absolute first-appear frame (-1 never)
+    obj_valid: jnp.ndarray,  # [N]
+    frame_indices: jnp.ndarray,  # [T]
+    clip_offset: jnp.ndarray,
+) -> mp.EntityMemory:
+    """Write GT masks (as +-10 logits) into the window at first
+    appearance and mark the slots valid."""
+    T = frame_indices.shape[0]
+    in_clip = (faf >= frame_indices[0]) & (faf <= frame_indices[-1]) & obj_valid
+    logits = gt_masks_clip * 20.0 - 10.0
+    # only the frame(s) with GT: local mask of which frames hold data
+    local = faf[:, None] == frame_indices[None, :]  # [N, T]
+    add = jnp.where((in_clip[:, None] & local)[:, :, None, None], logits, 0.0)
+    occ_add = (in_clip[:, None] & local).astype(pool.occurrence.dtype)
+
+    win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
+    # replace (not add): GT overrides anything at that frame
+    win = jnp.where(add != 0, add.astype(win.dtype), win)
+    ml = jax.lax.dynamic_update_slice_in_dim(pool.mask_logits, win, clip_offset, axis=1)
+    occ = jax.lax.dynamic_slice_in_dim(pool.occurrence, clip_offset, T, axis=1)
+    occ = jnp.maximum(occ, occ_add)
+    oc = jax.lax.dynamic_update_slice_in_dim(pool.occurrence, occ, clip_offset, axis=1)
+    return pool.replace(
+        mask_logits=ml,
+        occurrence=oc,
+        valid=pool.valid | in_clip,
+        first_appear=jnp.where(in_clip & (pool.first_appear < 0), faf, pool.first_appear),
+    )
+
+
+def vos_clip_step(
+    modules,
+    params,
+    features: Dict[str, jnp.ndarray],
+    pool: mp.EntityMemory,
+    frame_indices: jnp.ndarray,  # [T]
+    clip_offset: jnp.ndarray,
+    cls_emb: jnp.ndarray,
+    cc: EntityClipConfig,
+    text_prompts: Optional[TextPrompts] = None,  # RefVOS expressions
+    task: str = "sot",
+) -> Tuple[mp.EntityMemory, Dict]:
+    """One clip of prompt-guided re-segmentation. Pure/jittable."""
+    pixel_decoder, decoder = modules
+    T = frame_indices.shape[0]
+    N = pool.capacity
+
+    mask_features, _, _, ms = pixel_decoder.apply(
+        {"params": params["pixel_decoder"]}, features
+    )
+    fi = frame_indices[None]
+
+    if task == "grounding" and text_prompts is not None:
+        out = decoder.apply(
+            {"params": params["decoder"]},
+            ms, mask_features, fi, task="grounding", text_prompts=text_prompts,
+        )
+    else:
+        kv, kv_pe, kv_valid = mp.read_prompt_kv(pool, cc.num_prev_frames_memory)
+        L = kv.shape[1]
+        C = kv.shape[-1]
+        vp = VisualPrompts(
+            queries=_masked_mean(kv, kv_valid)[:, None].repeat(T, 1)[None],
+            query_pos=_masked_mean(kv_pe, kv_valid)[:, None].repeat(T, 1)[None],
+            kv=jnp.broadcast_to(kv[None, :, :, None], (1, N, L, T, C)),
+            kv_pe=jnp.broadcast_to(kv_pe[None, :, :, None], (1, N, L, T, C)),
+            kv_valid=jnp.broadcast_to(kv_valid[None, :, :, None], (1, N, L, T)),
+            valid=pool.valid[None],
+        )
+        out = decoder.apply(
+            {"params": params["decoder"]},
+            ms, mask_features, fi, task="sot", visual_prompts=vp, cls_emb=cls_emb,
+        )
+
+    Ql = cc.num_queries
+    masks_p = out["pred_masks"][0, Ql:].astype(jnp.float32)  # [N, T, H4, W4]
+    embds_p = out["pred_embds"][0, Ql:].astype(jnp.float32)  # [N, T, C]
+    quality = mask_quality_scores(masks_p)
+
+    first_frame = frame_indices[0]
+    is_first_appear = (pool.first_appear >= first_frame) & (
+        pool.first_appear <= frame_indices[-1]
+    ) & pool.valid
+    has_appeared = (pool.first_appear < first_frame) & (pool.first_appear >= 0) & pool.valid
+
+    win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
+
+    # ---- first-appear objects: prompt-only re-segmentation -----------
+    # inter-object overlap resolution weighted by miou^2 * quality
+    faf_local = jnp.clip(pool.first_appear - first_frame, 0, T - 1)  # [N]
+    gt_at_faf = jnp.take_along_axis(win, faf_local[:, None, None, None], axis=1)[:, 0] > 0
+    pred_at_faf = (
+        jnp.take_along_axis(masks_p, faf_local[:, None, None, None], axis=1)[:, 0] > 0
+    )
+    miou = _pair_mask_iou(gt_at_faf, pred_at_faf)  # [N]
+    w_first = (miou ** 2) * quality
+    resolved_first = _overlap_resolve(masks_p, w_first, is_first_appear)
+    # miou floor: 0.15 * clamp(area/96^2, max=1) (reference :393-394)
+    area_factor = jnp.clip(gt_at_faf.sum((-2, -1)) / (96.0 * 96.0), 0.0, 1.0)
+    resolved_bin = jnp.take_along_axis(
+        resolved_first > 0, faf_local[:, None, None, None], axis=1
+    )[:, 0]
+    miou2 = _pair_mask_iou(gt_at_faf, resolved_bin)
+    first_ok = is_first_appear & (miou2 > 0.15 * area_factor)
+
+    # write masks for frames AFTER faf (replace)
+    after = jnp.arange(T)[None, :] > faf_local[:, None]  # [N, T]
+    wrt = (first_ok[:, None] & after)[:, :, None, None]
+    win = jnp.where(wrt, resolved_first.astype(win.dtype), win)
+    occ = jax.lax.dynamic_slice_in_dim(pool.occurrence, clip_offset, T, axis=1)
+    occ = jnp.where(first_ok[:, None] & after, 1.0, occ)
+
+    # embds for first-appear objects
+    old = pool.embds[:, -1]
+    embds_last = jnp.where(first_ok[:, None], embds_p.mean(1), old)
+
+    # ---- appeared objects: consistency-gated accumulation ------------
+    is_cons, sim = mp.consistency_gate(pool, embds_p, cc.num_prev_frames_memory, jnp.float32(0.5))
+    gated = has_appeared & is_cons
+    w_app = (sim ** 2) * quality
+    resolved_app = _overlap_resolve(masks_p, w_app, gated)
+    # area-ratio gate 0.25
+    orig_area = jnp.maximum((masks_p > 0).sum((-3, -2, -1)), 1)
+    res_area = (resolved_app > 0).sum((-3, -2, -1))
+    ratio_ok = (res_area / orig_area) > 0.25
+    gated = gated & ratio_ok
+    win = win + jnp.where(gated[:, None, None, None], resolved_app.astype(win.dtype), 0)
+    occ = occ + jnp.where(gated[:, None], (resolved_app > 0).any((-2, -1)).astype(occ.dtype), 0)
+    nonblank_e = (old != 0).any(-1)
+    upd_e = (old + embds_p.mean(1)) / (nonblank_e[:, None].astype(jnp.float32) + 1.0)
+    embds_last = jnp.where(gated[:, None], upd_e, embds_last)
+
+    pool = pool.replace(
+        mask_logits=jax.lax.dynamic_update_slice_in_dim(pool.mask_logits, win, clip_offset, axis=1),
+        occurrence=jax.lax.dynamic_update_slice_in_dim(pool.occurrence, occ, clip_offset, axis=1),
+        embds=pool.embds.at[:, -1].set(embds_last),
+        quality_sum=pool.quality_sum + jnp.where(first_ok | gated, quality, 0.0),
+    )
+
+    # ---- prompt re-encoding from committed frames --------------------
+    grid_feats, grid_pos = decoder.apply(
+        {"params": params["decoder"]}, ms[-1], fi, method="prompt_feature_grid"
+    )
+    is_first_clip = first_frame == 0
+    n_update = jnp.where(is_first_clip, 1, T - cc.clip_stride)
+    pool = _reencode_prompts(pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc)
+    return pool, {"sim": sim, "quality": quality}
+
+
+def _pair_mask_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Paired IoU: a, b [N, H, W] binary -> [N]."""
+    af = a.reshape(a.shape[0], -1).astype(jnp.float32)
+    bf = b.reshape(b.shape[0], -1).astype(jnp.float32)
+    inter = (af * bf).sum(-1)
+    union = af.sum(-1) + bf.sum(-1) - inter
+    return inter / jnp.maximum(union, 1.0)
+
+
+def _overlap_resolve(masks: jnp.ndarray, weights: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """Pixel-wise argmax resolution between competing objects.
+
+    masks: [N, T, H, W] logits; weights: [N]; active: [N] bool.
+    A pixel belongs to the active object with max weighted sigmoid;
+    background where no active object exceeds 0 logits
+    (reference: inference_video_vos.py:374-386, :508-520).
+    Returns masks zeroed outside each object's owned region.
+    """
+    w = jnp.where(active, weights, 0.0)
+    prob = jax.nn.sigmoid(masks) * w[:, None, None, None]
+    prob = jnp.where(active[:, None, None, None], prob, -1.0)
+    owner = jnp.argmax(prob, axis=0)  # [T, H, W]
+    any_fg = jnp.where(active[:, None, None, None], masks, -1.0).max(0) > 0
+    own = (owner[None] == jnp.arange(masks.shape[0])[:, None, None, None]) & any_fg[None]
+    return masks * own
