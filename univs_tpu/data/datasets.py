@@ -1,0 +1,119 @@
+"""Dataset catalog: named dataset specs -> loader + evaluator wiring.
+
+Rebuild of the reference's registration layer
+(reference: univs/data/datasets/builtin.py:27-614 — ~60 named datasets
+with evaluator_type metadata across SA-1B, LVIS, COCO/ADE20K panoptic,
+EntitySeg, VIPSeg, VSPW, YTVIS-19/21/22, OVIS, BURST, DAVIS, YTVOS,
+MOSE, GOT10K, VIPOSeg, Ref-YTVOS/Ref-DAVIS, RefCOCO, and raw-video test
+sets).  Paths resolve under UNIVS_TPU_DATA_ROOT (default ./datasets),
+matching the reference's on-disk layout so existing dataset trees work
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+
+def data_root() -> str:
+    return os.environ.get("UNIVS_TPU_DATA_ROOT", "datasets")
+
+
+@dataclass(frozen=True)
+class DatasetSpec:
+    name: str
+    json_path: str  # relative to data root
+    image_root: str  # relative to data root
+    evaluator_type: Optional[str]  # ytvis | vps | vss | davis | pvos | coco | None
+    task: str = "detection"  # detection | sot | grounding
+    namespace: Optional[str] = None  # category namespace (category_info.py)
+    has_expression: bool = False
+    sot: bool = False
+
+
+_CATALOG: Dict[str, DatasetSpec] = {}
+
+
+def register(spec: DatasetSpec):
+    _CATALOG[spec.name] = spec
+
+
+def get_spec(name: str) -> DatasetSpec:
+    return _CATALOG[name]
+
+
+def list_datasets() -> List[str]:
+    return sorted(_CATALOG)
+
+
+def load_dataset(name: str) -> List[Dict]:
+    from univs_tpu.data.ytvis import load_ytvis_json
+
+    spec = _CATALOG[name]
+    return load_ytvis_json(
+        os.path.join(data_root(), spec.json_path),
+        os.path.join(data_root(), spec.image_root),
+        dataset_name=name,
+        has_expression=spec.has_expression,
+        sot=spec.sot,
+    )
+
+
+def _reg(name, json_path, image_root, ev, task="detection", ns=None, expr=False, sot=False):
+    register(DatasetSpec(name, json_path, image_root, ev, task, ns, expr, sot))
+
+
+# ---- VIS ------------------------------------------------------------------
+_reg("ytvis_2019_train", "ytvis_2019/train.json", "ytvis_2019/train/JPEGImages", "ytvis", ns="ytvis19")
+_reg("ytvis_2019_val", "ytvis_2019/valid.json", "ytvis_2019/valid/JPEGImages", "ytvis", ns="ytvis19")
+_reg("ytvis_2021_train", "ytvis_2021/train.json", "ytvis_2021/train/JPEGImages", "ytvis", ns="ytvis21")
+_reg("ytvis_2021_val", "ytvis_2021/valid.json", "ytvis_2021/valid/JPEGImages", "ytvis", ns="ytvis21")
+_reg("ytvis_2021_dev", "ytvis_2021/instances_dev.json", "ytvis_2021/train/JPEGImages", "ytvis", ns="ytvis21")
+_reg("ytvis_2022_val", "ytvis_2022/instances.json", "ytvis_2022/valid/JPEGImages", "ytvis", ns="ytvis21")
+_reg("ovis_train", "ovis/annotations_train.json", "ovis/train", "ytvis", ns="ovis")
+_reg("ovis_val", "ovis/annotations_valid.json", "ovis/valid", "ytvis", ns="ovis")
+_reg("ovis_dev", "ovis/annotations_dev.json", "ovis/train", "ytvis", ns="ovis")
+_reg("mots_burst_train", "burst/annotations/train_uni.json", "burst/frames/train", "ytvis", ns="burst")
+_reg("mots_burst_val_det", "burst/annotations/val_uni.json", "burst/frames/val", "ytvis", ns="burst")
+
+# ---- VPS / VSS ------------------------------------------------------------
+_reg("vipseg_panoptic_train", "vipseg/panoptic_gt_VIPSeg_train_cocovid.json", "vipseg/imgs", "vps", ns="vipseg")
+_reg("vipseg_panoptic_val", "vipseg/panoptic_gt_VIPSeg_val_cocovid.json", "vipseg/imgs", "vps", ns="vipseg")
+_reg("vipseg_panoptic_dev", "vipseg/panoptic_gt_VIPSeg_val_sub_cocovid.json", "vipseg/imgs", "vps", ns="vipseg")
+_reg("vspw_vss_video_val", "vspw/val_cocovid.json", "vspw/data", "vss", ns="vspw")
+_reg("vspw_vss_video_dev", "vspw/dev_cocovid.json", "vspw/data", "vss", ns="vspw")
+
+# ---- VOS (sot) ------------------------------------------------------------
+_reg("sot_davis17_train", "davis/2017_train.json", "davis/JPEGImages/480p", "davis", task="sot", sot=True)
+_reg("sot_davis17_val", "davis/2017_val.json", "davis/JPEGImages/480p", "davis", task="sot", sot=True)
+_reg("sot_davis16_val", "davis/2016_val.json", "davis/JPEGImages/480p", "davis", task="sot", sot=True)
+_reg("sot_ytbvos18_train", "ytbvos18/train.json", "ytbvos18/train/JPEGImages", None, task="sot", sot=True)
+_reg("sot_ytbvos18_val", "ytbvos18/val.json", "ytbvos18/valid/JPEGImages", None, task="sot", sot=True)
+_reg("mots_mose_train", "mose/train.json", "mose/train/JPEGImages", None, task="sot", sot=True)
+_reg("mots_mose_val", "mose/val.json", "mose/valid/JPEGImages", None, task="sot", sot=True)
+_reg("sot_got10k_train", "got10k/train.json", "got10k/train", None, task="sot", sot=True)
+
+# ---- PVOS -----------------------------------------------------------------
+_reg("pvos_viposeg_val", "viposeg/val_cocovid.json", "viposeg/valid/images", "pvos", task="sot", ns="viposeg", sot=True)
+_reg("pvos_viposeg_dev", "viposeg/dev_cocovid.json", "viposeg/valid/images", "pvos", task="sot", ns="viposeg", sot=True)
+
+# ---- RefVOS (grounding) ---------------------------------------------------
+_reg("rvos-refytb-train", "ref-youtube-vos/train.json", "ref-youtube-vos/train/JPEGImages", None, task="grounding", expr=True)
+_reg("rvos-refytb-val", "ref-youtube-vos/valid.json", "ref-youtube-vos/valid/JPEGImages", None, task="grounding", expr=True)
+_reg("rvos-refdavis-val-0", "ref-davis/valid_0.json", "ref-davis/valid/JPEGImages", "davis", task="grounding", expr=True)
+_reg("refcoco-unc-train", "refcoco/refcoco-unc/instances_train.json", "coco/train2017", None, task="grounding", expr=True)
+_reg("refcoco-unc-val", "refcoco/refcoco-unc/instances_val.json", "coco/train2017", None, task="grounding", expr=True)
+
+# ---- image datasets (pseudo-video) ----------------------------------------
+_reg("coco_panoptic_train", "coco/annotations/panoptic_train2017_cocovid.json", "coco/train2017", "coco", ns="coco_panoptic")
+_reg("ade20k_panoptic_train", "ade20k/ade20k_panoptic_train_cocovid.json", "ade20k/images/training", None, ns="ade20k")
+_reg("lvis_v1_train512p", "lvis/lvis_v1_train512p_cocovid.json", "coco", None, ns="lvis")
+_reg("sa_1b_train_250k_1", "sa_1b/sa_1b_250k_1_cocovid.json", "sa_1b/images", None, ns=None)
+_reg("entityseg_instance_train", "entityseg/entityseg_insseg_train_cocovid.json", "entityseg/images", None, ns="entityseg_instance")
+_reg("entityseg_panoptic_train", "entityseg/entityseg_panseg_train_cocovid.json", "entityseg/images", None, ns="entityseg_panoptic")
+
+# ---- raw video / demo -----------------------------------------------------
+_reg("custom_videos", "custom_videos/raw/test.json", "custom_videos/raw", None)
+_reg("custom_videos_text", "custom_videos/raw_text/test.json", "custom_videos/raw_text", None, task="grounding", expr=True)
