@@ -1,0 +1,128 @@
+"""Weight converter tests: torch BN/conv semantics match frozen-BN flax."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as tnn
+
+from univs_tpu.models.backbones.resnet import ResNet
+from univs_tpu.utils.convert import convert_resnet, flatten_torch, report_unconverted
+
+
+def _torch_bottleneck_stack():
+    """Build a torch R50 state dict (torchvision naming) with random weights."""
+    sd = {}
+    g = torch.Generator().manual_seed(0)
+
+    def conv(name, cout, cin, k):
+        sd[name + ".weight"] = torch.randn(cout, cin, k, k, generator=g) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = torch.rand(c, generator=g) + 0.5
+        sd[name + ".bias"] = torch.randn(c, generator=g) * 0.1
+        sd[name + ".running_mean"] = torch.randn(c, generator=g) * 0.1
+        sd[name + ".running_var"] = torch.rand(c, generator=g) + 0.5
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    blocks = (3, 4, 6, 3)
+    cins = (64, 256, 512, 1024)
+    for s, nb in enumerate(blocks):
+        cout = 256 * (2 ** s)
+        mid = cout // 4
+        for b in range(nb):
+            cin = cins[s] if b == 0 else cout
+            pre = f"layer{s + 1}.{b}"
+            conv(f"{pre}.conv1", mid, cin, 1)
+            bn(f"{pre}.bn1", mid)
+            conv(f"{pre}.conv2", mid, mid, 3)
+            bn(f"{pre}.bn2", mid)
+            conv(f"{pre}.conv3", cout, mid, 1)
+            bn(f"{pre}.bn3", cout)
+            if b == 0:
+                conv(f"{pre}.downsample.0", cout, cin, 1)
+                bn(f"{pre}.downsample.1", cout)
+    return sd
+
+
+def test_resnet_conversion_structure_and_numerics():
+    sd = _torch_bottleneck_stack()
+    converted = convert_resnet(flatten_torch(sd), depth=50)
+
+    model = ResNet(depth=50)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+    ref_params = model.init(jax.random.PRNGKey(0), x)["params"]
+    missing = report_unconverted(ref_params, converted)
+    assert missing == [], missing[:10]
+
+    # numeric check of the stem: conv+frozenBN+relu vs torch eval-mode
+    out = model.apply({"params": converted}, x)
+    xt = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+    conv = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+    conv.weight.data = sd["conv1.weight"]
+    bn = tnn.BatchNorm2d(64).eval()
+    bn.weight.data = sd["bn1.weight"]
+    bn.bias.data = sd["bn1.bias"]
+    bn.running_mean.data = sd["bn1.running_mean"]
+    bn.running_var.data = sd["bn1.running_var"]
+    with torch.no_grad():
+        stem_t = torch.relu(bn(conv(xt)))
+        stem_t = tnn.functional.max_pool2d(stem_t, 3, 2, 1)
+
+    # recompute flax stem only
+    import flax.linen as fnn
+
+    stem_out = fnn.max_pool(
+        fnn.relu(
+            (jax.lax.conv_general_dilated(
+                x, jnp.asarray(converted["stem_conv"]["kernel"]),
+                (2, 2), [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+             - converted["stem_bn"]["mean"]) / np.sqrt(converted["stem_bn"]["var"] + 1e-5)
+            * converted["stem_bn"]["scale"] + converted["stem_bn"]["bias"]
+        ),
+        (3, 3), (2, 2), [(1, 1), (1, 1)],
+    )
+    np.testing.assert_allclose(
+        np.asarray(stem_out), stem_t.numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(out))
+
+
+def test_clip_text_conversion_structure():
+    from univs_tpu.models.clip_text import ClipTextEncoder
+    from univs_tpu.utils.convert import convert_clip_text
+
+    width, layers, vocab = 32, 2, 100
+    g = torch.Generator().manual_seed(1)
+    sd = {
+        "token_embedding.weight": torch.randn(vocab, width, generator=g),
+        "positional_embedding": torch.randn(77, width, generator=g),
+        "text_projection": torch.randn(width, 16, generator=g),
+        "ln_final.weight": torch.ones(width),
+        "ln_final.bias": torch.zeros(width),
+    }
+    for i in range(layers):
+        pre = f"transformer.resblocks.{i}"
+        sd[f"{pre}.attn.in_proj_weight"] = torch.randn(3 * width, width, generator=g)
+        sd[f"{pre}.attn.in_proj_bias"] = torch.randn(3 * width, generator=g)
+        sd[f"{pre}.attn.out_proj.weight"] = torch.randn(width, width, generator=g)
+        sd[f"{pre}.attn.out_proj.bias"] = torch.randn(width, generator=g)
+        sd[f"{pre}.ln_1.weight"] = torch.ones(width)
+        sd[f"{pre}.ln_1.bias"] = torch.zeros(width)
+        sd[f"{pre}.ln_2.weight"] = torch.ones(width)
+        sd[f"{pre}.ln_2.bias"] = torch.zeros(width)
+        sd[f"{pre}.mlp.c_fc.weight"] = torch.randn(4 * width, width, generator=g)
+        sd[f"{pre}.mlp.c_fc.bias"] = torch.randn(4 * width, generator=g)
+        sd[f"{pre}.mlp.c_proj.weight"] = torch.randn(width, 4 * width, generator=g)
+        sd[f"{pre}.mlp.c_proj.bias"] = torch.randn(width, generator=g)
+
+    converted = convert_clip_text(flatten_torch(sd), num_layers=layers, width=width)
+    enc = ClipTextEncoder(embed_dim=16, width=width, heads=4, num_layers=layers, vocab_size=vocab)
+    tokens = jnp.array([[99, 5, 3, 98]])
+    ref = enc.init(jax.random.PRNGKey(0), tokens)["params"]
+    missing = report_unconverted(ref, converted)
+    assert missing == [], missing
+    word, eot = enc.apply({"params": converted}, tokens)
+    assert bool(jnp.isfinite(word).all())

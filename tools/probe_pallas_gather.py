@@ -27,9 +27,9 @@ def main():
 
         idx4_ = i_ref[0, 0]  # [S, 4]
         w4_ = w_ref[0, 0]  # [S, 4]
-        # expand 4 -> 128 lanes (32 channels per head)
-        idx = jnp.repeat(idx4_, 32, axis=1)  # [S, 128]
-        w = jnp.repeat(w4_, 32, axis=1)
+        # tile-repeat 4 -> 128 lanes (lane l: head l%4, channel l//4)
+        idx = pltpu.repeat(idx4_, 32, axis=1)  # [S, 128] pattern abcd abcd ..
+        w = pltpu.repeat(w4_, 32, axis=1)
         g = jnp.take_along_axis(t_ref[0], idx, axis=0)  # [S, 128]
         o_ref[0] += g * w
 
@@ -57,7 +57,7 @@ def main():
         i4 = np.asarray(idx4)
         wf = np.asarray(w4)
         exp = np.zeros((NG, S, 128), np.float32)
-        lane_head = np.arange(128) // 32  # 4 heads
+        lane_head = np.arange(128) % 4  # interleaved-head lanes
         for n in range(2):  # spot check first 2 slabs
             for c in range(NCHUNK):
                 idx = i4[n, c][:, lane_head]  # [S, 128]
