@@ -1,0 +1,108 @@
+"""Full-pipeline integration: synthetic video dataset -> clip-streaming
+drivers -> evaluators, with the tiny model (random weights)."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from univs_tpu.config import (
+    InferenceConfig,
+    tiny_test_config,
+)
+from univs_tpu.data.mapper import EvalVideoMapper
+from univs_tpu.engine import _eval_vos, _eval_ytvis
+from univs_tpu.models.univs import UniVSModel
+from univs_tpu.structures import TextPrompts
+from univs_tpu.utils import rle
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = tiny_test_config()
+    cfg = cfg.replace(
+        inference=InferenceConfig(
+            num_frames=2, clip_stride=1, num_frames_window=4, min_size_test=64,
+            size_divisibility=32, apply_cls_thres=0.0, topk_per_video=5,
+            max_num_instances=6,
+        )
+    )
+    model = UniVSModel(cfg)
+    K = 5
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 2, 64, 96, 3) * 255, jnp.float32)
+    cls_bank = rng.randn(K, cfg.decoder.clip_cls_emb_dim).astype(np.float32)
+    tp = TextPrompts(embs=jnp.asarray(cls_bank)[None, :, None, :], valid=jnp.ones((1, K), bool))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, images, jnp.arange(2)[None],
+        task="detection", text_prompts=tp, cls_emb=jnp.asarray(cls_bank),
+    )["params"]
+    return cfg, params, cls_bank
+
+
+def _toy_records(H=50, W=70, V=4):
+    def seg(y0, y1, x0, x1):
+        m = np.zeros((H, W), np.uint8)
+        m[y0:y1, x0:x1] = 1
+        return rle.encode(m)
+
+    return [{
+        "video_id": 1,
+        "dataset_name": "toy",
+        "file_names": [],
+        "height": H, "width": W, "length": V,
+        "task": "detection",
+        "annotations": [
+            {"id": 1, "category_id": 1, "iscrowd": 0,
+             "segmentations": [seg(5, 25, 5, 30)] * V},
+            {"id": 2, "category_id": 2, "iscrowd": 0,
+             "segmentations": [seg(30, 45, 40, 65)] * V},
+        ],
+    }]
+
+
+class _ArrayMapper(EvalVideoMapper):
+    """Eval mapper over synthetic in-memory frames."""
+
+    def __call__(self, record):
+        from univs_tpu.data.augment import resize_shortest_edge, transformed_image_size
+
+        H, W, V = record["height"], record["width"], record["length"]
+        rng = np.random.RandomState(record["video_id"])
+        frames = [(rng.rand(H, W, 3) * 255).astype(np.uint8) for _ in range(V)]
+        t = resize_shortest_edge((H, W), self.short, self.max_size, self.div)
+        images = np.stack([t.apply_image(f) for f in frames]).astype(np.float32)
+        ih, iw = transformed_image_size(t, (H, W))
+        return {
+            "images": images, "image_size": (ih, iw),
+            "out_size": (H, W), "video_id": record["video_id"],
+            "video_len": V, "dataset_name": record["dataset_name"],
+            "task": record["task"], "record": record, "transform": t,
+        }
+
+
+def test_eval_ytvis_pipeline(tiny_setup, tmp_path):
+    cfg, params, cls_bank = tiny_setup
+    records = _toy_records()
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+    metrics = _eval_ytvis(cfg, params, records, mapper, cls_bank, str(tmp_path))
+    assert set(metrics) >= {"AP", "AP50", "fps"}
+    assert 0.0 <= metrics["AP"] <= 1.0
+    assert (tmp_path / "results.json").exists()
+    preds = json.loads((tmp_path / "results.json").read_text())
+    if preds:  # random weights may or may not emit entities
+        p = preds[0]
+        assert len(p["segmentations"]) == 4
+        assert {"video_id", "score", "category_id"} <= set(p)
+
+
+def test_eval_vos_pipeline(tiny_setup):
+    cfg, params, cls_bank = tiny_setup
+    records = _toy_records()
+    records[0]["task"] = "sot"
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+    metrics = _eval_vos(cfg, params, records, mapper, cls_bank)
+    assert set(metrics) >= {"J", "F", "J&F"}
+    assert 0.0 <= metrics["J"] <= 1.0

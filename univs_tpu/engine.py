@@ -1,0 +1,129 @@
+"""Evaluation/training engine: datasets -> drivers -> evaluators.
+
+The reference couples this via Detectron2's ``DefaultTrainer.test`` /
+``inference_on_dataset`` with evaluator dispatch by dataset type
+(reference: train_net.py:111-165, :294-350).  Here the engine is a
+plain module: ``evaluate_dataset`` runs the right clip-streaming driver
+per video and feeds the matching metric kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from univs_tpu.config import UniVSConfig
+from univs_tpu.data.datasets import get_spec, load_dataset
+from univs_tpu.data.mapper import EvalVideoMapper
+from univs_tpu.data.ytvis import segmentation_to_mask
+from univs_tpu.inference.driver import EntityDriver, VOSDriver, vis_results_to_ytvis_json
+
+
+def evaluate_dataset(
+    cfg: UniVSConfig,
+    params,
+    dataset_name: str,
+    cls_bank: np.ndarray,  # [K, Dt] category embedding slice for the dataset
+    max_videos: Optional[int] = None,
+    output_dir: Optional[str] = None,
+) -> Dict[str, float]:
+    spec = get_spec(dataset_name)
+    records = load_dataset(dataset_name)
+    if max_videos:
+        records = records[:max_videos]
+    mapper = EvalVideoMapper(
+        short=cfg.inference.min_size_test, size_divisibility=cfg.inference.size_divisibility
+    )
+
+    if spec.evaluator_type == "ytvis":
+        return _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir)
+    if spec.evaluator_type in ("davis", "pvos"):
+        return _eval_vos(cfg, params, records, mapper, cls_bank)
+    raise NotImplementedError(f"evaluator {spec.evaluator_type} for {dataset_name}")
+
+
+def _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir):
+    from univs_tpu.evaluation.ytvis import YTVISEval
+
+    driver = EntityDriver(cfg, params, num_classes=cls_bank.shape[0],
+                          capacity=cfg.inference.max_num_instances)
+    cls_emb = jnp.asarray(cls_bank, jnp.float32)
+    preds: List[Dict] = []
+    gts: List[Dict] = []
+    t0 = time.time()
+    total_frames = 0
+    for rec in records:
+        s = mapper(rec)
+        ent = driver.run_vis(s["images"], cls_emb, image_size=s["image_size"], out_size=s["out_size"])
+        preds += vis_results_to_ytvis_json(
+            s["video_id"], s["video_len"], *s["out_size"], ent,
+            apply_cls_thresh=cfg.inference.apply_cls_thres,
+            topk_per_video=cfg.inference.topk_per_video,
+        )
+        total_frames += s["video_len"]
+        for ann in rec["annotations"]:
+            gts.append({
+                "video_id": rec["video_id"],
+                "category_id": ann["category_id"] - 1,  # evaluator uses 0-based like preds
+                "id": ann["id"],
+                "segmentations": ann["segmentations"],
+                "iscrowd": ann.get("iscrowd", 0),
+            })
+    dt = time.time() - t0
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "results.json"), "w") as f:
+            json.dump(preds, f)
+    metrics = YTVISEval(gts, preds).evaluate()
+    metrics["fps"] = total_frames / max(dt, 1e-6)
+    return metrics
+
+
+def _eval_vos(cfg, params, records, mapper, cls_bank):
+    from univs_tpu.evaluation.davis import evaluate_davis_sequence
+
+    cls_emb = jnp.asarray(cls_bank, jnp.float32)
+    res_j, res_f = [], []
+    t0 = time.time()
+    total_frames = 0
+    for rec in records:
+        s = mapper(rec)
+        V = s["video_len"]
+        H, W = s["images"].shape[1:3]
+        anns = rec["annotations"]
+        N = len(anns)
+        if N == 0:
+            continue
+        t = s["transform"]
+        gt14 = np.zeros((N, V, H // 4, W // 4), np.float32)
+        gt_full = np.zeros((N, V, *s["out_size"]), np.uint8)
+        faf = np.full((N,), -1, np.int32)
+        for n, ann in enumerate(anns):
+            for fi, segm in enumerate(ann["segmentations"] or []):
+                m = segmentation_to_mask(segm, rec["height"], rec["width"])
+                if m is None or m.sum() == 0:
+                    continue
+                gt_full[n, fi] = m
+                tm = t.apply_mask(m)
+                gt14[n, fi] = tm[::4, ::4][: H // 4, : W // 4]
+                if faf[n] < 0:
+                    faf[n] = fi
+        obj_valid = faf >= 0
+        driver = VOSDriver(cfg, params, capacity=N, num_classes=cls_bank.shape[0])
+        labels = driver.run(
+            s["images"], gt14, faf, obj_valid, cls_emb,
+            image_size=s["image_size"], out_size=s["out_size"],
+        )
+        pred_masks = np.stack([(labels == n + 1) for n in range(N)]).astype(np.uint8)
+        r = evaluate_davis_sequence(gt_full, pred_masks)
+        res_j.append(r["J"])
+        res_f.append(r["F"])
+        total_frames += V
+    dt = time.time() - t0
+    j, f = float(np.mean(res_j)), float(np.mean(res_f))
+    return {"J": j, "F": f, "J&F": (j + f) / 2, "fps": total_frames / max(dt, 1e-6)}

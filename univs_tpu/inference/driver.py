@@ -56,7 +56,7 @@ class EntityDriver:
         self.cc = EntityClipConfig(
             num_queries=cfg.decoder.num_queries,
             topk_candidates=inf.topk_per_video,
-            num_prev_frames_memory=inf.num_prev_frames_memory,
+            num_prev_frames_memory=cfg.prompt.num_prev_frames_memory,
             apply_cls_thres=inf.apply_cls_thres,
             newly_thres=inf.newly_entity_thres,
             consistency_thres=inf.consistency_thres[0],
@@ -191,6 +191,141 @@ class EntityDriver:
             segs = [s if s is not None else blank for s in segs]
             results.append({"obj_id": e, "score": scores[e], "segmentations": segs})
         return results
+
+
+class VOSDriver:
+    """Prompt-guided VOS/PVOS over one video (GT first-frame masks).
+
+    Host orchestration of inference/vos.py's clip step, mirroring
+    ``InferenceVideoVOS.inference_video_vos``
+    (reference: inference_video_vos.py:243-284)."""
+
+    def __init__(self, cfg: UniVSConfig, params, capacity: int, num_classes: int = 1):
+        self.cfg = cfg
+        self.params = params
+        self.capacity = capacity
+        inf = cfg.inference
+        self.T = inf.num_frames
+        self.stride = inf.clip_stride
+        self.window = inf.num_frames_window
+        from univs_tpu.inference.entity import EntityClipConfig
+
+        self.cc = EntityClipConfig(
+            num_queries=cfg.decoder.num_queries,
+            num_prev_frames_memory=cfg.prompt.num_prev_frames_memory,
+            num_dense_points=cfg.prompt.num_dense_points_test,
+            clip_stride=self.stride, num_frames=self.T,
+        )
+        dtype = compute_dtype_of(cfg)
+        self._backbone = build_backbone(cfg.backbone, dtype=dtype)
+        self._modules = (build_pixel_decoder(cfg), build_decoder(cfg))
+        mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+        std = jnp.asarray(cfg.pixel_std, jnp.float32)
+        self.num_classes = num_classes
+
+        @jax.jit
+        def backbone_fn(params, frames):
+            x = ((frames - mean) / std).astype(dtype)
+            return self._backbone.apply({"params": params["backbone"]}, x)
+
+        self._backbone_fn = backbone_fn
+
+        from univs_tpu.inference.vos import inject_gt_first_appearance, vos_clip_step
+
+        @jax.jit
+        def clip_fn(params, feats, pool, gt_clip, faf, obj_valid, frame_indices, clip_offset, cls_emb):
+            pool = inject_gt_first_appearance(pool, gt_clip, faf, obj_valid, frame_indices, clip_offset)
+            return vos_clip_step(self._modules, params, feats, pool, frame_indices,
+                                 clip_offset, cls_emb, self.cc)
+
+        self._clip_fn = clip_fn
+        self._shift_fn = jax.jit(lambda pool: mp.shift_clip(pool, self.stride))
+
+        @functools.partial(jax.jit, static_argnames=("out_frames",))
+        def emit_fn(pool, out_frames: int):
+            masks = pool.mask_logits[:, :out_frames]
+            return masks.astype(jnp.float16), mp.evict_window(pool, out_frames)
+
+        self._emit_fn = emit_fn
+
+    def run(self, frames: np.ndarray, gt_masks_14, faf: np.ndarray,
+            obj_valid: np.ndarray, cls_emb: jnp.ndarray,
+            image_size=None, out_size=None) -> np.ndarray:
+        """frames [V, H, W, 3]; gt_masks_14 [N, V, H/4, W/4] binary (only
+        first-appearance frames need data); faf [N] first-appear frames.
+        Returns per-frame label maps [V, out_h, out_w] uint8 (0=bg,
+        i+1=object i)."""
+        V, H, W = frames.shape[:3]
+        image_size = image_size or (H, W)
+        out_size = out_size or image_size
+        mask_hw = (H // 4, W // 4)
+        out_window = max(self.window - self.T, self.T)
+
+        pool = mp.create_entity_memory(
+            self.capacity, self.num_classes, self.cfg.decoder.hidden_dim, mask_hw,
+            window=out_window + self.T,
+            num_prompt_points=self.cc.num_dense_points,
+            embd_history=8, prompt_history=self.T + self.stride,
+        )
+        frames_j = jnp.asarray(frames, jnp.float32)
+        faf_j = jnp.asarray(faf, jnp.int32)
+        ov_j = jnp.asarray(obj_valid)
+
+        feats_window, window_range = None, (0, 0)
+        emitted, emit_starts, emitted_total = [], [], 0
+        i, is_last = 0, False
+        while i < V and not is_last:
+            is_last = i + self.T >= V
+            clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
+            if i + self.T > window_range[1]:
+                idx = np.minimum(np.arange(i, i + self.window), V - 1)
+                feats_window = self._backbone_fn(self.params, frames_j[idx])
+                window_range = (i, i + self.window)
+            rel = clip_idx - window_range[0]
+            feats = {k: v[rel] for k, v in feats_window.items()}
+            gt_clip = jnp.asarray(gt_masks_14[:, clip_idx], jnp.float32)
+            clip_offset = jnp.int32(i - emitted_total)
+            pool, _ = self._clip_fn(
+                self.params, feats, pool, gt_clip, faf_j, ov_j,
+                jnp.asarray(clip_idx), clip_offset, cls_emb,
+            )
+            while (i + self.T - emitted_total) >= (out_window + self.T) or (
+                is_last and emitted_total < V
+            ):
+                n_out = out_window if not is_last else min(V - emitted_total, out_window + self.T)
+                masks, pool = self._emit_fn(pool, out_window + self.T)
+                emitted.append(np.asarray(masks[:, :n_out]))
+                emit_starts.append(emitted_total)
+                emitted_total += n_out
+                if is_last and emitted_total >= V:
+                    break
+            if not is_last:
+                pool = self._shift_fn(pool)
+            i += self.stride
+
+        # assemble per-frame label maps (argmax over objects, 0 = bg)
+        labels = np.zeros((V, *out_size), np.uint8)
+        for win_masks, start in zip(emitted, emit_starts):
+            n = win_masks.shape[1]
+            for k in range(n):
+                if start + k >= V:
+                    break
+                logit = _upsample_logits(win_masks[:, k], image_size, out_size, (H, W))
+                lab = np.argmax(logit, axis=0) + 1
+                lab[logit.max(0) <= 0] = 0
+                labels[start + k] = lab.astype(np.uint8)
+        return labels
+
+
+def _upsample_logits(mask_logits: np.ndarray, image_size, out_size, padded_size) -> np.ndarray:
+    import torch
+    import torch.nn.functional as F
+
+    m = torch.from_numpy(mask_logits.astype(np.float32))[None]
+    m = F.interpolate(m, size=padded_size, mode="bilinear", align_corners=False)
+    m = m[:, :, : image_size[0], : image_size[1]]
+    m = F.interpolate(m, size=out_size, mode="bilinear", align_corners=False)
+    return m[0].numpy()
 
 
 def _upsample_and_threshold(mask_logits: np.ndarray, image_size, out_size, padded_size) -> np.ndarray:
