@@ -44,6 +44,10 @@ def evaluate_dataset(
         return _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir)
     if spec.evaluator_type in ("davis", "pvos"):
         return _eval_vos(cfg, params, records, mapper, cls_bank)
+    if spec.evaluator_type == "vss":
+        return _eval_vss(cfg, params, records, mapper, cls_bank)
+    if spec.evaluator_type == "vps":
+        return _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids=set())
     raise NotImplementedError(f"evaluator {spec.evaluator_type} for {dataset_name}")
 
 
@@ -82,6 +86,83 @@ def _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir):
     metrics = YTVISEval(gts, preds).evaluate()
     metrics["fps"] = total_frames / max(dt, 1e-6)
     return metrics
+
+
+def _gt_label_maps(rec, sem: bool):
+    """Per-frame GT maps from annotations: semantic class maps (vss) or
+    (segment_id, {id: cat}) panoptic maps (vps)."""
+    V = rec["length"]
+    H, W = rec["height"], rec["width"]
+    lab = np.full((V, H, W), 255 if sem else 0, np.int32)
+    cats = {}
+    for ann in rec["annotations"]:
+        for fi in range(V):
+            segm = (ann["segmentations"] or [None] * V)[fi]
+            m = segmentation_to_mask(segm, H, W)
+            if m is None:
+                continue
+            if sem:
+                lab[fi][m > 0] = ann["category_id"] - 1
+            else:
+                lab[fi][m > 0] = ann["id"]
+                cats[ann["id"]] = ann["category_id"] - 1
+    return (lab, cats)
+
+
+def _eval_vss(cfg, params, records, mapper, cls_bank):
+    from univs_tpu.evaluation.vss import confusion_matrix, miou_from_confusion, video_consistency
+
+    driver = EntityDriver(cfg, params, num_classes=cls_bank.shape[0],
+                          capacity=cfg.inference.max_num_instances)
+    cls_emb = jnp.asarray(cls_bank, jnp.float32)
+    K = cls_bank.shape[0]
+    cm = np.zeros((K, K), np.int64)
+    vcs = []
+    t0, total_frames = time.time(), 0
+    for rec in records:
+        s = mapper(rec)
+        pred = driver.run_vss(s["images"], cls_emb, image_size=s["image_size"], out_size=s["out_size"])
+        gt, _ = _gt_label_maps(rec, sem=True)
+        cm += confusion_matrix(gt, pred, K)
+        vc = video_consistency(list(gt), list(pred), window=min(8, rec["length"]))
+        if np.isfinite(vc):
+            vcs.append(vc)
+        total_frames += s["video_len"]
+    miou, macc, _ = miou_from_confusion(cm)
+    return {"mIoU": miou, "mAcc": macc, "mVC": float(np.mean(vcs)) if vcs else float("nan"),
+            "fps": total_frames / max(time.time() - t0, 1e-6)}
+
+
+def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids):
+    from univs_tpu.evaluation.stq import STQAccumulator
+    from univs_tpu.evaluation.vpq import vpq_single_video
+
+    driver = EntityDriver(cfg, params, num_classes=cls_bank.shape[0],
+                          capacity=cfg.inference.max_num_instances)
+    cls_emb = jnp.asarray(cls_bank, jnp.float32)
+    K = cls_bank.shape[0]
+    stq = STQAccumulator(K, things=thing_ids or set(range(K)))
+    vpqs = []
+    t0, total_frames = time.time(), 0
+    for rec in records:
+        s = mapper(rec)
+        pan, seg_info = driver.run_vps(
+            s["images"], cls_emb, thing_class_ids=(thing_ids or set(range(1, K + 1))),
+            image_size=s["image_size"], out_size=s["out_size"],
+        )
+        gt_lab, gt_cats = _gt_label_maps(rec, sem=False)
+        pr_cats = {si["id"]: si["category_id"] - 1 for si in seg_info}
+        spans = tuple(k for k in (1, 2, 4, 6) if k <= rec["length"])
+        vpqs.append(vpq_single_video(list(gt_lab), gt_cats, list(pan), pr_cats, K, spans)["vpq"])
+        for t in range(rec["length"]):
+            gt_cls = np.vectorize(lambda i: gt_cats.get(i, 255))(gt_lab[t]).astype(np.int64)
+            pr_cls = np.vectorize(lambda i: pr_cats.get(i, 0))(pan[t]).astype(np.int64)
+            stq.update(rec["video_id"], gt_cls, gt_lab[t], pr_cls, pan[t])
+        total_frames += s["video_len"]
+    out = {"VPQ": float(np.mean(vpqs))}
+    out.update(stq.result())
+    out["fps"] = total_frames / max(time.time() - t0, 1e-6)
+    return out
 
 
 def _eval_vos(cfg, params, records, mapper, cls_bank):

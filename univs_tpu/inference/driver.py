@@ -193,6 +193,114 @@ class EntityDriver:
         return results
 
 
+    # ------------------------------------------------------------------
+
+    def run_vss(self, frames: np.ndarray, cls_emb: jnp.ndarray,
+                image_size=None, out_size=None) -> np.ndarray:
+        """VSS: per-clip semantic argmax from learnable queries only
+        (reference: save_results_vss — inference_video_entity.py:1096-1132;
+        clip stride = num_frames for vss :299).
+        Returns per-frame class maps [V, out_h, out_w] int32."""
+        V, H, W = frames.shape[:3]
+        image_size = image_size or (H, W)
+        out_size = out_size or image_size
+        frames_j = jnp.asarray(frames, jnp.float32)
+        pd, dec = self._modules
+
+        @jax.jit
+        def vss_clip(params, feats, frame_indices):
+            mask_features, _, _, ms = pd.apply({"params": params["pixel_decoder"]}, feats)
+            out = dec.apply(
+                {"params": params["decoder"]}, ms, mask_features, frame_indices[None],
+                task="detection", cls_emb=cls_emb,
+            )
+            logits = jax.nn.sigmoid(out["pred_logits"][0].astype(jnp.float32))
+            masks = out["pred_masks"][0].astype(jnp.float32)
+            from univs_tpu.inference.entity import mask_quality_scores
+
+            q = mask_quality_scores(masks)
+            sem = jnp.einsum("qc,qthw->cthw", logits * q[:, None], jax.nn.sigmoid(masks))
+            return jnp.argmax(sem, axis=0)  # [T, H4, W4]
+
+        labels = np.zeros((V, *out_size), np.int32)
+        i = 0
+        while i < V:
+            clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
+            feats = self._backbone_fn(self.params, frames_j[clip_idx])
+            sem = np.asarray(vss_clip(self.params, feats, jnp.asarray(clip_idx)))
+            up = _upsample_labels(sem, image_size, out_size, (H, W))
+            for k in range(self.T):
+                if i + k < V:
+                    labels[i + k] = up[k]
+            i += self.T
+        return labels
+
+    def run_vps(self, frames: np.ndarray, cls_emb: jnp.ndarray,
+                thing_class_ids, image_size=None, out_size=None):
+        """VPS: entity tracking + per-frame panoptic stitching
+        (reference: save_results_vps — inference_video_entity.py:963-1094:
+        weighted argmax over tracked entities, thing/stuff segment-id
+        memory, overlap filtering).
+        Returns (panoptic [V, out_h, out_w] int32 segment ids,
+                 segments_info list)."""
+        V, H, W = frames.shape[:3]
+        image_size = image_size or (H, W)
+        out_size = out_size or image_size
+        thing_ids = set(int(t) for t in thing_class_ids)
+
+        # reuse the VIS entity pipeline to build the tracked pool + windows
+        results = self.run_vis(frames, cls_emb, image_size=image_size, out_size=out_size)
+
+        panoptic = np.zeros((V, *out_size), np.int32)
+        thing_memory, stuff_memory = {}, {}
+        segments_info = []
+        current_id = 0
+        # score per entity
+        ent = []
+        for r in results:
+            scores = np.asarray(r["score"])
+            cls = int(scores.argmax())
+            ent.append((r["obj_id"], cls, float(scores.max()), r["segmentations"]))
+        for t in range(V):
+            # paint in descending score order; first writer wins per pixel
+            order = sorted(range(len(ent)), key=lambda k: -ent[k][2] * (0.75 if (ent[k][1] + 1) not in thing_ids else 1.0))
+            taken = np.zeros(out_size, bool)
+            for k in order:
+                obj_id, cls, sc, segs = ent[k]
+                m = rle.decode(segs[t]).astype(bool)
+                m = m & ~taken
+                if m.sum() == 0:
+                    continue
+                isthing = (cls + 1) in thing_ids
+                if isthing:
+                    if obj_id not in thing_memory:
+                        current_id += 1
+                        thing_memory[obj_id] = current_id
+                        segments_info.append({"id": current_id, "isthing": True, "category_id": cls + 1})
+                    seg_id = thing_memory[obj_id]
+                else:
+                    if cls not in stuff_memory:
+                        current_id += 1
+                        stuff_memory[cls] = current_id
+                        segments_info.append({"id": current_id, "isthing": False, "category_id": cls + 1})
+                    seg_id = stuff_memory[cls]
+                panoptic[t][m] = seg_id
+                taken |= m
+        return panoptic, segments_info
+
+
+def _upsample_labels(labels: np.ndarray, image_size, out_size, padded_size) -> np.ndarray:
+    """[T, h, w] int labels -> [T, out] nearest upsampling with crop."""
+    import torch
+    import torch.nn.functional as F
+
+    m = torch.from_numpy(labels.astype(np.float32))[None]
+    m = F.interpolate(m, size=padded_size, mode="nearest")
+    m = m[:, :, : image_size[0], : image_size[1]]
+    m = F.interpolate(m, size=out_size, mode="nearest")
+    return m[0].numpy().astype(np.int32)
+
+
 class VOSDriver:
     """Prompt-guided VOS/PVOS over one video (GT first-frame masks).
 
