@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Train / evaluate UniVS-TPU — the ``train_net.py`` equivalent.
+
+Examples:
+    # evaluate VIS on a dev split (weights: orbax dir or converted .pth)
+    python tools/run_net.py --eval-only --dataset ytvis_2021_dev \
+        --weights out/ckpt --bank datasets/concept_emb/bank.npy
+
+    # train stage 2 (detection prompts) on a dataset mixture
+    python tools/run_net.py --train --datasets ytvis_2021_train:0.6,coco_panoptic_train:0.4 \
+        --batch-size 8 --max-iter 10000 --output out/
+
+Reference entry point: train_net.py (argument surface mirrored where it
+makes sense; Detectron2 launch/DDP replaced by jax.distributed + the
+("data","model") mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--dataset", type=str, help="dataset to evaluate")
+    p.add_argument("--datasets", type=str, help="train mixture name:ratio,name:ratio")
+    p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--bank", type=str, default=None, help="category embedding bank (.npy/.pth)")
+    p.add_argument("--backbone", type=str, default="resnet50")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--max-iter", type=int, default=1000)
+    p.add_argument("--num-frames", type=int, default=2)
+    p.add_argument("--image-size", type=int, default=1024)
+    p.add_argument("--max-videos", type=int, default=None)
+    p.add_argument("--output", type=str, default="output")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def build_cfg(args):
+    from univs_tpu.config import BackboneConfig, UniVSConfig
+
+    return UniVSConfig(
+        backbone=BackboneConfig(name=args.backbone),
+        num_frames=args.num_frames,
+        dtype="bfloat16" if args.bf16 else "float32",
+    )
+
+
+def init_params(cfg, cls_bank, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from univs_tpu.models.univs import UniVSModel
+    from univs_tpu.structures import TextPrompts
+
+    model = UniVSModel(cfg)
+    images = jnp.zeros((1, cfg.num_frames, 128, 128, 3))
+    fi = jnp.zeros((1, cfg.num_frames), jnp.int32)
+    K = min(cls_bank.shape[0], 8)
+    tp = TextPrompts(embs=jnp.asarray(cls_bank[:K])[None, :, None, :], valid=jnp.ones((1, K), bool))
+
+    @jax.jit
+    def init_fn(rng):
+        return model.init(
+            {"params": rng, "shuffle": rng}, images, fi, task="detection",
+            text_prompts=tp, cls_emb=jnp.asarray(cls_bank[:K]), train=True,
+        )["params"]
+
+    return model, init_fn(jax.random.PRNGKey(seed))
+
+
+def main():
+    args = parse_args()
+    cfg = build_cfg(args)
+
+    from univs_tpu.data.category_info import TOTAL_CATEGORY_ROWS
+    from univs_tpu.utils.checkpoint import load_category_bank, load_params, save_checkpoint
+
+    bank = load_category_bank(args.bank, TOTAL_CATEGORY_ROWS, cfg.decoder.clip_cls_emb_dim)
+
+    if args.eval_only:
+        from univs_tpu.engine import evaluate_dataset
+        from univs_tpu.prompts.prepare_targets import PrepareTargets
+
+        model, params = init_params(cfg, bank, args.seed)
+        if args.weights:
+            params = load_params(args.weights)
+        pt = PrepareTargets(bank)
+        cls_slice = pt.category_slice(args.dataset)
+        metrics = evaluate_dataset(
+            cfg, params, args.dataset, cls_slice,
+            max_videos=args.max_videos, output_dir=args.output,
+        )
+        print(json.dumps(metrics))
+        return
+
+    if args.train:
+        import jax
+        import jax.numpy as jnp
+
+        from univs_tpu.data.datasets import load_dataset
+        from univs_tpu.data.loader import CombinedLoader, collate_train_batch, dataset_iterator
+        from univs_tpu.data.mapper import TrainMapperConfig, TrainVideoMapper
+        from univs_tpu.parallel.mesh import make_mesh
+        from univs_tpu.parallel.train_state import create_train_state, make_train_step
+        from univs_tpu.prompts.prepare_targets import PrepareTargets
+
+        model, params = init_params(cfg, bank, args.seed)
+        if args.weights:
+            params = load_params(args.weights)
+
+        pt = PrepareTargets(bank)
+        items = [d.split(":") for d in args.datasets.split(",")]
+        loaders, ratios = [], []
+        mcfg = TrainMapperConfig(num_frames=cfg.num_frames, image_size=args.image_size,
+                                 max_instances=cfg.prompt.num_max_instances)
+        for i, (name, ratio) in enumerate(items):
+            records = load_dataset(name)
+            sl = pt.category_slice(name)
+            collate = lambda b, sl=sl: collate_train_batch(
+                b, sl, np.ones(sl.shape[0], bool), cfg.prompt.num_max_instances
+            )
+            loaders.append(dataset_iterator(records, TrainVideoMapper(mcfg, seed=i),
+                                            args.batch_size, collate, seed=i))
+            ratios.append(float(ratio))
+        loader = CombinedLoader(loaders, ratios, seed=args.seed)
+
+        mesh = make_mesh()
+        state = create_train_state(cfg.replace(train=cfg.train), params)
+        step = make_train_step(cfg, model, mesh, task="detection")
+        rng = jax.random.PRNGKey(args.seed)
+        with mesh:
+            for it in range(args.max_iter):
+                batch = next(loader)
+                state, logged = step(state, batch, rng)
+                if it % 20 == 0:
+                    print(f"iter {it}: total={float(logged['total_loss']):.4f}", flush=True)
+                if (it + 1) % 1000 == 0:
+                    save_checkpoint(os.path.join(args.output, f"ckpt_{it+1}"), state.params)
+        save_checkpoint(os.path.join(args.output, "ckpt_final"), state.params)
+        return
+
+    print("specify --eval-only or --train")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Checkpoint save/load (orbax) + category-bank IO.
+
+Replaces the reference's Detectron2 ``DetectionCheckpointer``
+(reference: train_net.py:96-101, --resume flow :377-393) with orbax
+pytree checkpoints; torch .pth ingestion goes through
+utils/convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+
+def save_checkpoint(path: str, state: Any):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=target) if target is not None else ckptr.restore(path)
+
+
+def load_params(path: str) -> Any:
+    """Load model params from orbax dir or torch .pth/.pkl file."""
+    if os.path.isdir(path):
+        return load_checkpoint(path)
+    if path.endswith((".pth", ".pkl", ".pt")):
+        import torch
+
+        from univs_tpu.utils.convert import flatten_torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        return flatten_torch(sd)
+    if path.endswith(".npz"):
+        return dict(np.load(path, allow_pickle=True))
+    raise ValueError(f"unknown checkpoint format: {path}")
+
+
+def load_category_bank(path: Optional[str], num_rows: int, dim: int = 640,
+                       seed: int = 0) -> np.ndarray:
+    """Load the frozen CLIP category-embedding bank
+    (reference data: datasets/concept_emb/
+    combined_datasets_cls_emb_rn50x4.pth, 3938x640).  Falls back to a
+    seeded random bank when no file is available (smoke/bench mode)."""
+    if path and os.path.exists(path):
+        if path.endswith(".npy"):
+            bank = np.load(path)
+        else:
+            import torch
+
+            bank = torch.load(path, map_location="cpu", weights_only=False)
+            bank = bank.numpy() if hasattr(bank, "numpy") else np.asarray(bank)
+        assert bank.shape[-1] == dim, bank.shape
+        return bank.astype(np.float32)
+    rng = np.random.RandomState(seed)
+    bank = rng.randn(num_rows, dim).astype(np.float32)
+    return bank / np.linalg.norm(bank, axis=-1, keepdims=True)
