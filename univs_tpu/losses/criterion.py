@@ -362,6 +362,97 @@ def _layer_losses_prompt(
     return losses
 
 
+def loss_masks_sem(
+    rng: jax.Array,
+    pred_masks_p: jnp.ndarray,  # [B, Qp, T, H, W] prompt-query mask logits
+    targets: TrainTargets,
+    cfg: TrainConfig,
+) -> jnp.ndarray:
+    """Semantic cross-entropy over prompt slots at sampled points
+    (video_criterion_prompt.py:489-541 — text-prompt detection path:
+    per pixel, exactly one prompt/category owns it; CE over the Qp
+    'classes', ignoring background)."""
+    B, Qp, T, H, W = pred_masks_p.shape
+    poi = targets.prompt_obj_ids
+    pvalid = poi >= 0
+    gt = jax.vmap(lambda m, q: m[jnp.clip(q, 0)])(targets.masks, poi)  # [B, Qp, T, h, w]
+    gt = gt * pvalid[:, :, None, None, None]
+
+    # per-pixel owner slot (argmax over slots; bg where no slot covers)
+    owner = jnp.argmax(gt, axis=1)  # [B, T, h, w]
+    has_fg = gt.max(axis=1) > 0
+
+    src = pred_masks_p.transpose(0, 2, 1, 3, 4).reshape(B * T, Qp, H, W)
+    agg = src.max(axis=1)  # uncertainty source (reference :514)
+    coords = uncertainty_point_coords(
+        rng, agg, cfg.num_points, cfg.oversample_ratio, cfg.importance_sample_ratio
+    )
+    coords = jax.lax.stop_gradient(coords)
+    logits_pt = jax.vmap(lambda m, c: point_sample(m, c))(src, coords)  # [B*T, P, Qp]
+    own_bt = owner.transpose(0, 1, 2, 3).reshape(B * T, *owner.shape[-2:])
+    fg_bt = has_fg.reshape(B * T, *owner.shape[-2:])
+    lab_pt = jax.vmap(lambda m, c: point_sample(m[None].astype(jnp.float32), c)[:, 0])(own_bt, coords)
+    fg_pt = jax.vmap(lambda m, c: point_sample(m[None].astype(jnp.float32), c)[:, 0])(fg_bt, coords)
+    lab = jnp.round(lab_pt).astype(jnp.int32)
+    keep = (fg_pt > 0.5).astype(jnp.float32)
+
+    logZ = jax.nn.logsumexp(logits_pt, axis=-1)
+    ce = logZ - jnp.take_along_axis(logits_pt, lab[..., None], -1)[..., 0]
+    return (ce * keep).sum() / jnp.maximum(keep.sum(), 1.0)
+
+
+def loss_l2v_attn_weights(
+    rng: jax.Array,
+    l2v: jnp.ndarray,  # [B*T, Qp*L, S] head-averaged attention weights
+    level_sizes,  # static ((h1,w1),(h2,w2),(h3,w3)) coarse->fine
+    tokens_per_prompt: int,  # L (1 detection, 78 grounding)
+    targets: TrainTargets,
+    cfg: TrainConfig,
+    t: int,
+) -> jnp.ndarray:
+    """Lang->vision attention supervision: smooth-L1 + dice between
+    max-normalized sentence-token attention maps and GT masks at
+    sampled points (video_criterion_prompt.py:543-598), summed over the
+    3 levels."""
+    BT = l2v.shape[0]
+    B = BT // t
+    QpL = l2v.shape[1]
+    Qp = QpL // tokens_per_prompt
+    # sentence token only (first of each prompt)
+    w = l2v.reshape(BT, Qp, tokens_per_prompt, -1)[:, :, 0]  # [BT, Qp, S]
+    w = w / jnp.maximum(w.max(-1, keepdims=True), 1e-6)
+
+    poi = targets.prompt_obj_ids
+    pvalid = (poi >= 0)
+    gt = jax.vmap(lambda m, q: m[jnp.clip(q, 0)])(targets.masks, poi)  # [B, Qp, T, h, w]
+
+    total = jnp.float32(0.0)
+    start = 0
+    for li, (h, wd) in enumerate(level_sizes):
+        maps = w[:, :, start : start + h * wd].reshape(B, t, Qp, h, wd)
+        maps = maps.transpose(0, 2, 1, 3, 4)  # [B, Qp, T, h, w]
+        start += h * wd
+        src = maps.reshape(B * Qp * t, h, wd)
+        tgt = gt.reshape(B * Qp * t, *gt.shape[-2:])
+        rl = jax.random.fold_in(rng, li)
+        coords = uncertainty_point_coords(
+            rl, 0.9 - src, cfg.num_points, cfg.oversample_ratio, cfg.importance_sample_ratio
+        )
+        coords = jax.lax.stop_gradient(coords)
+        probs = jax.vmap(lambda m, c: point_sample(m[None], c)[:, 0])(src, coords)
+        labels = jax.vmap(lambda m, c: point_sample(m[None], c)[:, 0])(tgt, coords)
+        labels = jax.lax.stop_gradient(labels)
+        valid = jnp.repeat(pvalid.reshape(-1), t).astype(jnp.float32)
+        d = jnp.abs(probs - labels)
+        sl1 = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+        sl1 = (sl1 * valid[:, None]).sum() / jnp.maximum((labels * valid[:, None]).sum(), 1.0)
+        dice = (dice_loss_points(probs, labels, already_prob=True) * valid).sum() / jnp.maximum(
+            valid.sum(), 1.0
+        )
+        total = total + 0.5 * (sl1 + dice)
+    return total
+
+
 def _loss_reid_l2p(
     pred_embds_l: jnp.ndarray,  # [B, Ql, T, C]
     match: jnp.ndarray,  # [B, N] learnable match (query per target)
@@ -433,6 +524,9 @@ class UniCriterion:
         cls_valid: jnp.ndarray,  # [K] valid category columns
         task: str = "detection",
         learnable_enabled: bool = True,
+        sem_loss: bool = False,
+        level_sizes=None,
+        tokens_per_prompt: int = 1,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         Ql = self.num_learnable
         T = self.num_frames
@@ -475,7 +569,28 @@ class UniCriterion:
                             layer["pred_embds"][:, Ql:], targets,
                         )
                     )
+            if has_prompt and sem_loss and task == "detection":
+                sem = loss_masks_sem(
+                    jax.random.fold_in(r, 777),
+                    layer["pred_masks"][:, Ql:], targets, self.cfg,
+                )
+                merged["loss_mask"] = merged.get("loss_mask", 0.0) + sem
             for k, v in merged.items():
                 logged[k + suffix] = v
                 total = total + self.weight(k) * v
+
+        # lang->vision attention supervision (grounding / visual-detection;
+        # zero for text-detection — video_criterion_prompt.py:551)
+        if (
+            "l2v_attn_weights" in outputs
+            and outputs["l2v_attn_weights"] is not None
+            and level_sizes is not None
+            and task == "grounding"
+        ):
+            l2v = loss_l2v_attn_weights(
+                jax.random.fold_in(rng, 999), outputs["l2v_attn_weights"],
+                level_sizes, tokens_per_prompt, targets, self.cfg, T,
+            )
+            logged["loss_l2v_attn_weight"] = l2v
+            total = total + self.cfg.mask_weight * l2v
         return total, logged
