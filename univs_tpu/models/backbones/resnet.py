@@ -126,4 +126,8 @@ def build_backbone(cfg, dtype=jnp.float32) -> nn.Module:
         from univs_tpu.models.backbones.swin import build_swin
 
         return build_swin(cfg, dtype=dtype)
+    if name.startswith("pvt"):
+        from univs_tpu.models.backbones.pvt import build_pvt
+
+        return build_pvt(name, dtype=dtype)
     raise ValueError(f"unknown backbone {name!r}")
