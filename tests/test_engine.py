@@ -106,3 +106,17 @@ def test_eval_vos_pipeline(tiny_setup):
     metrics = _eval_vos(cfg, params, records, mapper, cls_bank)
     assert set(metrics) >= {"J", "F", "J&F"}
     assert 0.0 <= metrics["J"] <= 1.0
+
+
+def test_eval_refvos_pipeline(tiny_setup):
+    cfg, params, cls_bank = tiny_setup
+    records = _toy_records()
+    records[0]["task"] = "grounding"
+    records[0]["expressions"] = ["the red box", "the blue box"]
+    records[0]["exp_obj_ids"] = [1, 2]
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+    from univs_tpu.engine import _eval_refvos
+
+    metrics = _eval_refvos(cfg, params, records, mapper, cls_bank)
+    assert set(metrics) >= {"J", "F", "J&F"}
+    assert 0.0 <= metrics["J"] <= 1.0

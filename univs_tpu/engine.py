@@ -31,6 +31,7 @@ def evaluate_dataset(
     cls_bank: np.ndarray,  # [K, Dt] category embedding slice for the dataset
     max_videos: Optional[int] = None,
     output_dir: Optional[str] = None,
+    text_encoder=None,
 ) -> Dict[str, float]:
     spec = get_spec(dataset_name)
     records = load_dataset(dataset_name)
@@ -42,6 +43,8 @@ def evaluate_dataset(
 
     if spec.evaluator_type == "ytvis":
         return _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir)
+    if spec.task == "grounding":
+        return _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=text_encoder)
     if spec.evaluator_type in ("davis", "pvos"):
         return _eval_vos(cfg, params, records, mapper, cls_bank)
     if spec.evaluator_type == "vss":
@@ -163,6 +166,57 @@ def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids):
     out.update(stq.result())
     out["fps"] = total_frames / max(time.time() - t0, 1e-6)
     return out
+
+
+def _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=None):
+    """RefVOS J&F: one prompt per expression, GT = the referred object
+    (reference: save_rvos_results per-expression dirs + DAVIS J&F)."""
+    from univs_tpu.evaluation.davis import evaluate_davis_sequence
+
+    cls_emb = jnp.asarray(cls_bank, jnp.float32)
+    res_j, res_f = [], []
+    t0, total_frames = time.time(), 0
+    for rec in records:
+        exprs = rec.get("expressions", [])
+        if not exprs:
+            continue
+        s = mapper(rec)
+        n = len(exprs)
+        cap = max(n, 1)
+        driver = VOSDriver(cfg, params, capacity=cap, num_classes=cls_bank.shape[0])
+        if text_encoder is not None:
+            from univs_tpu.prompts.prepare_targets import PrepareTargets
+
+            tp = PrepareTargets(cls_bank, text_encoder).grounding_inputs(exprs, pad_to=cap)
+        else:  # no CLIP weights: random (pipeline smoke)
+            rng = np.random.RandomState(0)
+            from univs_tpu.structures import TextPrompts
+
+            tp = TextPrompts(
+                embs=jnp.asarray(rng.randn(1, cap, 4, cls_bank.shape[-1]), jnp.float32),
+                valid=jnp.asarray(np.arange(cap) < n)[None],
+            )
+        masks = driver.run_grounding(
+            s["images"], tp.embs, tp.valid, cls_emb, n_expressions=n,
+            image_size=s["image_size"], out_size=s["out_size"],
+        )
+        # GT: expression e refers to object exp_obj_ids[e]
+        anns = {a["id"]: a for a in rec["annotations"]}
+        obj_ids = rec.get("exp_obj_ids", list(anns))
+        for e in range(n):
+            ann = anns.get(obj_ids[e]) if obj_ids[e] in anns else list(anns.values())[min(e, len(anns) - 1)]
+            gt = np.zeros((rec["length"], *s["out_size"]), np.uint8)
+            for fi, segm in enumerate(ann["segmentations"] or []):
+                m = segmentation_to_mask(segm, rec["height"], rec["width"])
+                if m is not None:
+                    gt[fi] = m
+            r = evaluate_davis_sequence(gt[None], masks[e][None])
+            res_j.append(r["J"])
+            res_f.append(r["F"])
+        total_frames += s["video_len"]
+    dt = time.time() - t0
+    j, f = float(np.mean(res_j)), float(np.mean(res_f))
+    return {"J": j, "F": f, "J&F": (j + f) / 2, "fps": total_frames / max(dt, 1e-6)}
 
 
 def _eval_vos(cfg, params, records, mapper, cls_bank):

@@ -347,6 +347,17 @@ class VOSDriver:
                                  clip_offset, cls_emb, self.cc)
 
         self._clip_fn = clip_fn
+
+        @jax.jit
+        def grounding_clip_fn(params, feats, pool, frame_indices, clip_offset, cls_emb, text_embs, text_valid):
+            from univs_tpu.structures import TextPrompts
+
+            tp = TextPrompts(embs=text_embs, valid=text_valid)
+            return vos_clip_step(self._modules, params, feats, pool, frame_indices,
+                                 clip_offset, cls_emb, self.cc,
+                                 text_prompts=tp, task="grounding")
+
+        self._grounding_clip_fn = grounding_clip_fn
         self._shift_fn = jax.jit(lambda pool: mp.shift_clip(pool, self.stride))
 
         @functools.partial(jax.jit, static_argnames=("out_frames",))
@@ -423,6 +434,73 @@ class VOSDriver:
                 lab[logit.max(0) <= 0] = 0
                 labels[start + k] = lab.astype(np.uint8)
         return labels
+
+    def run_grounding(self, frames: np.ndarray, text_embs, text_valid,
+                      cls_emb: jnp.ndarray, n_expressions: Optional[int] = None,
+                      image_size=None, out_size=None) -> np.ndarray:
+        """RefVOS: expressions as prompts, no GT injection
+        (reference: inference_video_vos grounding path + save_rvos_results).
+        text_embs: [1, Qp, 1+77, Dt] padded to the driver capacity;
+        returns per-expression binary masks [n_expressions, V, out_h, out_w]."""
+        V, H, W = frames.shape[:3]
+        image_size = image_size or (H, W)
+        out_size = out_size or image_size
+        mask_hw = (H // 4, W // 4)
+        out_window = max(self.window - self.T, self.T)
+        assert int(text_embs.shape[1]) == self.capacity, (
+            "pad text prompts to the driver capacity", text_embs.shape, self.capacity)
+        N = n_expressions or self.capacity
+
+        pool = mp.create_entity_memory(
+            self.capacity, self.num_classes, self.cfg.decoder.hidden_dim, mask_hw,
+            window=out_window + self.T,
+            num_prompt_points=self.cc.num_dense_points,
+            embd_history=8, prompt_history=self.T + self.stride,
+        )
+        # all expressions "appear" at frame 0
+        pool = pool.replace(
+            valid=jnp.arange(self.capacity) < N,
+            first_appear=jnp.where(jnp.arange(self.capacity) < N, 0, -1),
+        )
+        frames_j = jnp.asarray(frames, jnp.float32)
+        feats_window, window_range = None, (0, 0)
+        emitted, emit_starts, emitted_total = [], [], 0
+        i, is_last = 0, False
+        while i < V and not is_last:
+            is_last = i + self.T >= V
+            clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
+            if i + self.T > window_range[1]:
+                idx = np.minimum(np.arange(i, i + self.window), V - 1)
+                feats_window = self._backbone_fn(self.params, frames_j[idx])
+                window_range = (i, i + self.window)
+            rel = clip_idx - window_range[0]
+            feats = {k: v[rel] for k, v in feats_window.items()}
+            pool, _ = self._grounding_clip_fn(
+                self.params, feats, pool, jnp.asarray(clip_idx),
+                jnp.int32(i - emitted_total), cls_emb, text_embs, text_valid,
+            )
+            while (i + self.T - emitted_total) >= (out_window + self.T) or (
+                is_last and emitted_total < V
+            ):
+                n_out = out_window if not is_last else min(V - emitted_total, out_window + self.T)
+                masks, pool = self._emit_fn(pool, out_window + self.T)
+                emitted.append(np.asarray(masks[:, :n_out]))
+                emit_starts.append(emitted_total)
+                emitted_total += n_out
+                if is_last and emitted_total >= V:
+                    break
+            if not is_last:
+                pool = self._shift_fn(pool)
+            i += self.stride
+
+        out = np.zeros((N, V, *out_size), np.uint8)
+        for win_masks, start in zip(emitted, emit_starts):
+            for k in range(win_masks.shape[1]):
+                if start + k >= V:
+                    break
+                logit = _upsample_logits(win_masks[:N, k], image_size, out_size, (H, W))
+                out[:, start + k] = (logit > 0).astype(np.uint8)
+        return out
 
 
 def _upsample_logits(mask_logits: np.ndarray, image_size, out_size, padded_size) -> np.ndarray:

@@ -126,13 +126,16 @@ def vos_clip_step(
 
     # ---- first-appear objects: prompt-only re-segmentation -----------
     # inter-object overlap resolution weighted by miou^2 * quality
+    # (grounding has no GT masks: quality-only weights, no miou gate,
+    #  write from faf inclusive — inference_video_vos.py:396-399)
+    is_grounding = task == "grounding"
     faf_local = jnp.clip(pool.first_appear - first_frame, 0, T - 1)  # [N]
     gt_at_faf = jnp.take_along_axis(win, faf_local[:, None, None, None], axis=1)[:, 0] > 0
     pred_at_faf = (
         jnp.take_along_axis(masks_p, faf_local[:, None, None, None], axis=1)[:, 0] > 0
     )
     miou = _pair_mask_iou(gt_at_faf, pred_at_faf)  # [N]
-    w_first = (miou ** 2) * quality
+    w_first = quality if is_grounding else (miou ** 2) * quality
     resolved_first = _overlap_resolve(masks_p, w_first, is_first_appear)
     # miou floor: 0.15 * clamp(area/96^2, max=1) (reference :393-394)
     area_factor = jnp.clip(gt_at_faf.sum((-2, -1)) / (96.0 * 96.0), 0.0, 1.0)
@@ -140,10 +143,13 @@ def vos_clip_step(
         resolved_first > 0, faf_local[:, None, None, None], axis=1
     )[:, 0]
     miou2 = _pair_mask_iou(gt_at_faf, resolved_bin)
-    first_ok = is_first_appear & (miou2 > 0.15 * area_factor)
+    first_ok = is_first_appear & (is_grounding | (miou2 > 0.15 * area_factor))
 
-    # write masks for frames AFTER faf (replace)
-    after = jnp.arange(T)[None, :] > faf_local[:, None]  # [N, T]
+    # write masks for frames AFTER faf (replace); grounding: from faf
+    if is_grounding:
+        after = jnp.arange(T)[None, :] >= faf_local[:, None]
+    else:
+        after = jnp.arange(T)[None, :] > faf_local[:, None]  # [N, T]
     wrt = (first_ok[:, None] & after)[:, :, None, None]
     win = jnp.where(wrt, resolved_first.astype(win.dtype), win)
     occ = jax.lax.dynamic_slice_in_dim(pool.occurrence, clip_offset, T, axis=1)

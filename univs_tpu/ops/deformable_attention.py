@@ -150,9 +150,11 @@ def ms_deform_attn(
 
     out = jnp.zeros((N, M, Lq, D), f32)
     for lid, (h, w) in enumerate(spatial_shapes):
-        # [N, M, H+2, W+2, D] zero-padded level map (per-head)
+        # [N, M, H+2, W+2, D] zero-padded level map (per-head).  Gather
+        # in the INPUT dtype (bf16 halves gather time on v5e: 107ms vs
+        # 159ms per layer's samples); accumulate fp32 after the gather.
         vl = value[:, starts[lid] : starts[lid + 1]].reshape(N, h, w, M, D)
-        vl = jnp.moveaxis(vl, 3, 1).astype(f32)  # [N, M, h, w, D]
+        vl = jnp.moveaxis(vl, 3, 1)  # [N, M, h, w, D]
         vp = jnp.pad(vl, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
 
         x = loc[:, :, :, lid, :, 0] * w - 0.5  # [N, Lq, M, P]
@@ -187,7 +189,7 @@ def ms_deform_attn(
             )  # [K, 2, 2, D]
 
         patches = jax.vmap(jax.vmap(gather_one))(vp, starts_idx)  # [N, M, K, 2, 2, D]
-        patches = patches.reshape(N, M, Lq, P, 2, 2, D)
+        patches = patches.reshape(N, M, Lq, P, 2, 2, D).astype(f32)
         wc = jnp.moveaxis(wcorner, 2, 1)  # [N, M, Lq, P, 2, 2]
         out = out + jnp.einsum("nmqpijd,nmqpij->nmqd", patches, wc)
 
