@@ -189,9 +189,11 @@ def ms_deform_attn(
             )  # [K, 2, 2, D]
 
         patches = jax.vmap(jax.vmap(gather_one))(vp, starts_idx)  # [N, M, K, 2, 2, D]
-        patches = patches.reshape(N, M, Lq, P, 2, 2, D).astype(f32)
-        wc = jnp.moveaxis(wcorner, 2, 1)  # [N, M, Lq, P, 2, 2]
-        out = out + jnp.einsum("nmqpijd,nmqpij->nmqd", patches, wc)
+        patches = patches.reshape(N, M, Lq, P, 2, 2, D)
+        wc = jnp.moveaxis(wcorner, 2, 1).astype(patches.dtype)  # [N, M, Lq, P, 2, 2]
+        out = out + jnp.einsum(
+            "nmqpijd,nmqpij->nmqd", patches, wc, preferred_element_type=jnp.float32
+        )
 
     out = jnp.moveaxis(out, 1, 2).reshape(N, Lq, M * D)
     return out.astype(value.dtype)

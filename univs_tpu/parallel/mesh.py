@@ -42,6 +42,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def init_multihost(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None):
+    """Multi-host initialization (DCN between slices).
+
+    The reference's equivalent is d2 ``launch`` with a TCP rendezvous
+    (train_net.py:400-407, tools/run/univs_r50_stage3.sh:3).  On TPU
+    pods the standard env-based discovery makes all args optional."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=num_processes, process_id=process_id
+    )
+
+
 def shard_batch_pytree(mesh: Mesh, batch):
     """Constrain every leaf's leading axis to the data axis."""
     s = batch_sharding(mesh)
