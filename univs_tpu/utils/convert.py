@@ -123,9 +123,10 @@ def _layernorm(sd, prefix) -> Dict[str, np.ndarray]:
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
-def split_inproj(sd, prefix: str, d: int) -> Dict[str, Dict]:
+def split_inproj(sd, prefix: str, d: Optional[int] = None) -> Dict[str, Dict]:
     """torch MultiheadAttention packed in_proj -> q/k/v/out Dense."""
     w = sd[f"{prefix}.in_proj_weight"]
+    d = w.shape[0] // 3  # infer model dim from the packed projection
     b = sd.get(f"{prefix}.in_proj_bias")
     parts = {}
     for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
