@@ -57,38 +57,12 @@ def main():
         out = model.apply({"params": p}, x, fi, task="detection", text_prompts=tp, cls_emb=cls_emb)
         return out["pred_logits"].mean() + out["pred_masks"].astype(jnp.float32).mean()
 
-    # decoder with a reduced layer count to bisect per-layer cost
-    from univs_tpu.models.decoder import UniVSDecoder
-
-    def decoder_nlayer_fn(n_layers):
-        dec = UniVSDecoder(
-            hidden_dim=256, num_queries=200, num_layers=n_layers, num_heads=8,
-            ffn_dim=2048, mask_dim=256, text_emb_dim=640, dtype=jnp.bfloat16,
-        )
-
-        @jax.jit
-        def run(p, x):
-            mf, ms = model.apply({"params": p}, x, method=lambda m, y: m.encode_features(y))
-            out = dec.apply({"params": p["decoder"]} if n_layers == 9 else dec_params,
-                            ms, mf, fi, task="detection", text_prompts=tp, cls_emb=cls_emb)
-            return out["pred_logits"].mean() + out["pred_masks"].astype(jnp.float32).mean()
-
-        if n_layers != 9:
-            mf, ms = model.apply({"params": params}, images, method=lambda m, y: m.encode_features(y))
-            global dec_params
-            dec_params = dec.init({"params": jax.random.PRNGKey(1)}, ms, mf, fi,
-                                  task="detection", text_prompts=tp, cls_emb=cls_emb)
-        return run
-
     t_bb = timeit(backbone_fn, params, images)
     print(f"backbone: {t_bb*1000:.1f} ms", flush=True)
     t_enc = timeit(encode_fn, params, images)
     print(f"backbone+pixel_decoder: {t_enc*1000:.1f} ms", flush=True)
     t_full = timeit(full_fn, params, images)
     print(f"full forward: {t_full*1000:.1f} ms -> FPS {t/t_full:.2f}", flush=True)
-    for nl in (0, 3):
-        t_nl = timeit(decoder_nlayer_fn(nl), params, images)
-        print(f"encode + decoder({nl} layers): {t_nl*1000:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
