@@ -24,3 +24,16 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Workaround: clear in-process executable caches between test
+    modules — the preloaded axon PJRT plugin's CPU compile path has
+    shown stale-executable buffer-count mismatches when many distinct
+    jits accumulate in one process."""
+    yield
+    jax.clear_caches()

@@ -46,22 +46,28 @@ def test_two_clip_steps(setup):
         window=6, num_prompt_points=R, embd_history=4, prompt_history=4,
     )
 
-    # backbone features for the clip
-    feats = model.apply(
-        {"params": params}, images.reshape(T, 64, 96, 3),
-        method=lambda m, y: m.backbone(m.normalize(y)),
-    )
-
     from univs_tpu.models.univs import build_decoder, build_pixel_decoder
 
     modules = (build_pixel_decoder(cfg), build_decoder(cfg))
+
+    # per-frame encoded features (backbone + pixel decoder)
+    bb = model.apply(
+        {"params": params}, images.reshape(T, 64, 96, 3),
+        method=lambda m, y: m.backbone(m.normalize(y)),
+    )
+    mf, _, _, ms = modules[0].apply({"params": params["pixel_decoder"]}, bb)
+    feats = (mf, tuple(ms))
+    # NOTE: params/feats are jit ARGS, not closure constants — closing
+    # over param pytrees triggers a jax-0.9 constant-interning bug that
+    # corrupts buffer accounting of later jits reusing the same arrays
+    # as arguments ("Execution supplied N buffers but ... expected M").
     step = jax.jit(
-        lambda pool, fi, off, first: entity_clip_step(
+        lambda params, feats, pool, fi, off, first, cls_emb: entity_clip_step(
             modules, params, feats, pool, fi, off, first, cls_emb, cc
         )
     )
 
-    pool1, emit1 = step(pool, jnp.arange(T), jnp.int32(0), jnp.bool_(True))
+    pool1, emit1 = step(params, feats, pool, jnp.arange(T), jnp.int32(0), jnp.bool_(True), cls_emb)
     n1 = int(pool1.valid.sum())
     assert n1 > 0, "first clip must admit entities (cls threshold 0)"
     assert bool(jnp.isfinite(pool1.mask_logits).all())
@@ -69,7 +75,7 @@ def test_two_clip_steps(setup):
     assert bool(pool1.first_valid.any())
 
     pool1 = mp.shift_clip(pool1, stride=1)
-    pool2, emit2 = step(pool1, jnp.arange(1, T + 1), jnp.int32(1), jnp.bool_(False))
+    pool2, emit2 = step(params, feats, pool1, jnp.arange(1, T + 1), jnp.int32(1), jnp.bool_(False), cls_emb)
     assert int(pool2.valid.sum()) >= n1
     assert bool(jnp.isfinite(pool2.mask_logits).all())
     # logits running mean has counted clips

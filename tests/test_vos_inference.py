@@ -53,23 +53,25 @@ def test_vos_two_clips():
     assert float(pool.mask_logits[0, 0].max()) > 0
     assert float(pool.mask_logits[2, 1].max()) > 0
 
-    feats = model.apply(
+    modules = (build_pixel_decoder(cfg), build_decoder(cfg))
+    bb = model.apply(
         {"params": params}, images.reshape(T, H, W, 3),
         method=lambda m, y: m.backbone(m.normalize(y)),
     )
-    modules = (build_pixel_decoder(cfg), build_decoder(cfg))
+    mf, _, _, ms = modules[0].apply({"params": params["pixel_decoder"]}, bb)
+    feats = (mf, tuple(ms))
 
     step = jax.jit(
-        lambda pool, fi, off: vos_clip_step(
-            modules, {"pixel_decoder": params["pixel_decoder"], "decoder": params["decoder"]},
-            feats, pool, fi, off, cls_emb, cc,
+        lambda params, feats, pool, fi, off, cls_emb: vos_clip_step(
+            modules, params, feats, pool, fi, off, cls_emb, cc,
         )
     )
-    pool1, aux = step(pool, jnp.arange(T), jnp.int32(0))
+    sub = {"pixel_decoder": params["pixel_decoder"], "decoder": params["decoder"]}
+    pool1, aux = step(sub, feats, pool, jnp.arange(T), jnp.int32(0), cls_emb)
     assert bool(jnp.isfinite(pool1.mask_logits).all())
     assert bool(pool1.prompt_valid.any()), "prompts must be encoded from GT frame"
 
     pool1 = mp.shift_clip(pool1, 1)
-    pool2, aux2 = step(pool1, jnp.arange(1, T + 1), jnp.int32(1))
+    pool2, aux2 = step(sub, feats, pool1, jnp.arange(1, T + 1), jnp.int32(1), cls_emb)
     assert bool(jnp.isfinite(pool2.mask_logits).all())
     assert bool(jnp.isfinite(aux2["sim"]).all())

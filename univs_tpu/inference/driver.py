@@ -72,11 +72,18 @@ class EntityDriver:
         std = jnp.asarray(cfg.pixel_std, jnp.float32)
 
         @jax.jit
-        def backbone_fn(params, frames):
+        def encode_window_fn(params, frames):
+            # backbone + per-frame pixel decoder, amortized per window
+            # (the reference reruns the encoder per clip — see
+            # inference/entity.py docstring)
             x = ((frames - mean) / std).astype(dtype)
-            return self._backbone.apply({"params": params["backbone"]}, x)
+            feats = self._backbone.apply({"params": params["backbone"]}, x)
+            mask_features, _, _, ms = self._modules[0].apply(
+                {"params": params["pixel_decoder"]}, feats
+            )
+            return mask_features, tuple(ms)
 
-        self._backbone_fn = backbone_fn
+        self._encode_window_fn = encode_window_fn
 
         @functools.partial(jax.jit, static_argnames=())
         def clip_fn(params, feats, pool, frame_indices, clip_offset, is_first, cls_emb):
@@ -140,14 +147,13 @@ class EntityDriver:
             clip_idx = np.minimum(clip_idx, V - 1)  # clamp tail (repeat last)
 
             if i + self.T > window_range[1]:
-                ws = i
-                we = min(i + self.window, V)
-                idx = np.minimum(np.arange(ws, ws + self.window), V - 1)
-                feats_window = self._backbone_fn(self.params, frames_j[idx])
-                window_range = (ws, ws + self.window)
+                idx = np.minimum(np.arange(i, i + self.window), V - 1)
+                feats_window = self._encode_window_fn(self.params, frames_j[idx])
+                window_range = (i, i + self.window)
 
             rel = clip_idx - window_range[0]
-            feats = {k: v[rel] for k, v in feats_window.items()}
+            mf_w, ms_w = feats_window
+            feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
 
             clip_offset = jnp.int32(i - emitted_total)
             pool, _ = self._clip_fn(
@@ -208,8 +214,8 @@ class EntityDriver:
         pd, dec = self._modules
 
         @jax.jit
-        def vss_clip(params, feats, frame_indices):
-            mask_features, _, _, ms = pd.apply({"params": params["pixel_decoder"]}, feats)
+        def vss_clip(params, encoded, frame_indices):
+            mask_features, ms = encoded
             out = dec.apply(
                 {"params": params["decoder"]}, ms, mask_features, frame_indices[None],
                 task="detection", cls_emb=cls_emb,
@@ -226,8 +232,8 @@ class EntityDriver:
         i = 0
         while i < V:
             clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
-            feats = self._backbone_fn(self.params, frames_j[clip_idx])
-            sem = np.asarray(vss_clip(self.params, feats, jnp.asarray(clip_idx)))
+            encoded = self._encode_window_fn(self.params, frames_j[clip_idx])
+            sem = np.asarray(vss_clip(self.params, encoded, jnp.asarray(clip_idx)))
             up = _upsample_labels(sem, image_size, out_size, (H, W))
             for k in range(self.T):
                 if i + k < V:
@@ -332,11 +338,18 @@ class VOSDriver:
         self.num_classes = num_classes
 
         @jax.jit
-        def backbone_fn(params, frames):
+        def encode_window_fn(params, frames):
+            # backbone + per-frame pixel decoder, amortized per window
+            # (the reference reruns the encoder per clip — see
+            # inference/entity.py docstring)
             x = ((frames - mean) / std).astype(dtype)
-            return self._backbone.apply({"params": params["backbone"]}, x)
+            feats = self._backbone.apply({"params": params["backbone"]}, x)
+            mask_features, _, _, ms = self._modules[0].apply(
+                {"params": params["pixel_decoder"]}, feats
+            )
+            return mask_features, tuple(ms)
 
-        self._backbone_fn = backbone_fn
+        self._encode_window_fn = encode_window_fn
 
         from univs_tpu.inference.vos import inject_gt_first_appearance, vos_clip_step
 
@@ -398,10 +411,11 @@ class VOSDriver:
             clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
             if i + self.T > window_range[1]:
                 idx = np.minimum(np.arange(i, i + self.window), V - 1)
-                feats_window = self._backbone_fn(self.params, frames_j[idx])
+                feats_window = self._encode_window_fn(self.params, frames_j[idx])
                 window_range = (i, i + self.window)
             rel = clip_idx - window_range[0]
-            feats = {k: v[rel] for k, v in feats_window.items()}
+            mf_w, ms_w = feats_window
+            feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
             gt_clip = jnp.asarray(gt_masks_14[:, clip_idx], jnp.float32)
             clip_offset = jnp.int32(i - emitted_total)
             pool, _ = self._clip_fn(
@@ -471,10 +485,11 @@ class VOSDriver:
             clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
             if i + self.T > window_range[1]:
                 idx = np.minimum(np.arange(i, i + self.window), V - 1)
-                feats_window = self._backbone_fn(self.params, frames_j[idx])
+                feats_window = self._encode_window_fn(self.params, frames_j[idx])
                 window_range = (i, i + self.window)
             rel = clip_idx - window_range[0]
-            feats = {k: v[rel] for k, v in feats_window.items()}
+            mf_w, ms_w = feats_window
+            feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
             pool, _ = self._grounding_clip_fn(
                 self.params, feats, pool, jnp.asarray(clip_idx),
                 jnp.int32(i - emitted_total), cls_emb, text_embs, text_valid,

@@ -68,7 +68,11 @@ class EntityClipConfig:
 def entity_clip_step(
     modules,  # (pixel_decoder, decoder) flax modules — see models.univs.build_*
     params,
-    features: Dict[str, jnp.ndarray],  # backbone maps for the clip [T, h, w, c]
+    encoded,  # (mask_features [T, h4, w4, C], ms tuple) — per-frame pixel-
+    # decoder outputs, precomputed per WINDOW and sliced per clip (the
+    # pixel decoder is frame-independent, so unlike the reference —
+    # which reruns sem_seg_head's encoder every clip,
+    # inference_video_entity.py:316 — each frame is encoded once)
     pool: mp.EntityMemory,
     frame_indices: jnp.ndarray,  # [T] absolute
     clip_offset: jnp.ndarray,  # scalar: first clip frame - window_start
@@ -82,10 +86,7 @@ def entity_clip_step(
     E = pool.capacity
     K = cls_emb.shape[0]
 
-    # ---- pixel decoder -------------------------------------------------
-    mask_features, _, _, ms = pixel_decoder.apply(
-        {"params": params["pixel_decoder"]}, features
-    )
+    mask_features, ms = encoded
     fi = frame_indices[None]  # B=1
 
     # ---- memory-pool prompt queries ------------------------------------

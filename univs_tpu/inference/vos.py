@@ -70,7 +70,7 @@ def inject_gt_first_appearance(
 def vos_clip_step(
     modules,
     params,
-    features: Dict[str, jnp.ndarray],
+    encoded,  # (mask_features [T, h4, w4, C], ms tuple) per-frame window slices
     pool: mp.EntityMemory,
     frame_indices: jnp.ndarray,  # [T]
     clip_offset: jnp.ndarray,
@@ -84,9 +84,7 @@ def vos_clip_step(
     T = frame_indices.shape[0]
     N = pool.capacity
 
-    mask_features, _, _, ms = pixel_decoder.apply(
-        {"params": params["pixel_decoder"]}, features
-    )
+    mask_features, ms = encoded
     fi = frame_indices[None]
 
     if task == "grounding" and text_prompts is not None:

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 _INF = jnp.float32(1e12)
 
 
-@partial(jax.jit, static_argnames=())
 def hungarian(cost: jnp.ndarray, row_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Minimum-cost row->column assignment.
 

@@ -112,7 +112,10 @@ def ms_deform_attn_reference(
     return out.reshape(N, Lq, M * D)
 
 
-@partial(jax.jit, static_argnames=("spatial_shapes",))
+# NOTE: deliberately NOT @jax.jit — callers always jit; a global jit
+# wrapper shares traced jaxprs across different outer traces, which
+# trips a jax-0.9 buffer-accounting bug on this stack ("Execution
+# supplied N buffers but compiled program expected M").
 def ms_deform_attn(
     value: jnp.ndarray,
     spatial_shapes: Tuple[Tuple[int, int], ...],
