@@ -1,14 +1,20 @@
-"""Benchmark: flagship UniVS-R50 category-guided video segmentation FPS.
+"""Benchmark: flagship UniVS-R50 streaming VIS throughput.
 
-Measures frames/sec of the jitted per-clip forward (backbone + pixel
-decoder + UniVS decoder with 40 category prompts) on 5-frame clips at
-640x960 — the reference's VIS inference configuration
-(reference: tools/test/test_r50.sh: MIN_SIZE_TEST 640, T=5 clips).
+Measures the two jit programs of the clip-streaming inference runtime
+at the reference's VIS configuration (640x960, T=5 clips, stride 1 —
+tools/test/test_r50.sh):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is FPS relative to an A100 estimate of the reference
-pipeline (~10 FPS for R50 VIS at 640p — no official number exists;
-BASELINE.md notes the repo publishes none).
+1. window encode: backbone + pixel decoder, amortized once per frame
+   (the pixel decoder is per-frame, so unlike the reference — which
+   reruns it every overlapping clip — each frame is encoded once);
+2. clip decode: the UniVS decoder with 40 category prompts per clip
+   (one clip advances `stride`=1 frame).
+
+streaming FPS = 1 / (encode_per_frame + decode_per_clip / stride).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
+vs_baseline is relative to an A100 estimate of the reference pipeline
+(~10 FPS; the repo publishes no FPS — BASELINE.md).
 """
 
 from __future__ import annotations
@@ -21,12 +27,28 @@ import numpy as np
 A100_REFERENCE_FPS_ESTIMATE = 10.0
 
 
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    import jax
+
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from univs_tpu.config import UniVSConfig
-    from univs_tpu.models.univs import UniVSModel
+    from univs_tpu.models.univs import (
+        UniVSModel,
+        build_decoder,
+        build_pixel_decoder,
+    )
     from univs_tpu.structures import TextPrompts
 
     platform = jax.devices()[0].platform
@@ -35,50 +57,59 @@ def main():
     cfg = UniVSConfig(dtype="bfloat16" if on_tpu else "float32")
     model = UniVSModel(cfg)
 
-    b, t = 1, cfg.inference.num_frames
+    T = cfg.inference.num_frames
+    W = 10  # encode window for timing
     h, w = (640, 960) if on_tpu else (128, 192)
     K = 40
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(b, t, h, w, 3) * 255, jnp.float32)
-    frame_indices = jnp.arange(t)[None]
+    frames = jnp.asarray(rng.rand(W, h, w, 3) * 255, jnp.float32)
+    fi = jnp.arange(T)[None]
     cls_emb = jnp.asarray(rng.randn(K, cfg.decoder.clip_cls_emb_dim), jnp.float32)
-    tp = TextPrompts(embs=cls_emb[None, :, None, :], valid=jnp.ones((b, K), bool))
+    tp = TextPrompts(embs=cls_emb[None, :, None, :], valid=jnp.ones((1, K), bool))
 
-    # jit the init: under the axon remote-compile tunnel every eager op
-    # is a compile round trip, so unjitted init takes tens of minutes
     @jax.jit
-    def init_fn(rng, images, frame_indices):
+    def init_fn(rng_, images, fi):
         return model.init(
-            {"params": rng}, images, frame_indices,
-            task="detection", text_prompts=tp, cls_emb=cls_emb,
+            {"params": rng_}, images, fi, task="detection",
+            text_prompts=tp, cls_emb=cls_emb,
         )
 
-    params = init_fn(jax.random.PRNGKey(0), images, frame_indices)
+    params = init_fn(jax.random.PRNGKey(0), frames[None, :T], fi)["params"]
+    pd, dec = build_pixel_decoder(cfg), build_decoder(cfg)
+    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     @jax.jit
-    def fwd(params, images):
-        out = model.apply(
-            params, images, frame_indices, task="detection",
-            text_prompts=tp, cls_emb=cls_emb,
+    def encode_window(params, frames):
+        x = ((frames - mean) / std).astype(dtype)
+        feats = model.apply(
+            {"params": params}, x, method=lambda m, y: m.backbone(y)
+        )
+        mf, _, _, ms = pd.apply({"params": params["pixel_decoder"]}, feats)
+        return mf, tuple(ms)
+
+    @jax.jit
+    def decode_clip(params, mf, ms, fi, cls_emb):
+        out = dec.apply(
+            {"params": params["decoder"]}, list(ms), mf, fi,
+            task="detection", text_prompts=tp, cls_emb=cls_emb,
         )
         return out["pred_logits"], out["pred_masks"]
 
-    # warmup / compile
-    logits, masks = fwd(params, images)
-    jax.block_until_ready((logits, masks))
+    mf, ms = encode_window(params, frames)
+    t_enc = timeit(encode_window, params, frames)
+    mf_c = mf[:T]
+    ms_c = tuple(m[:T] for m in ms)
+    t_dec = timeit(decode_clip, params, mf_c, ms_c, fi, cls_emb)
 
-    iters = 10 if on_tpu else 2
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - start
-
-    fps = (b * t * iters) / dt
+    stride = cfg.inference.clip_stride
+    per_frame = t_enc / W + t_dec / stride
+    fps = 1.0 / per_frame
     print(
         json.dumps(
             {
-                "metric": f"UniVS-R50 VIS forward FPS ({h}x{w}, T={t}, {platform})",
+                "metric": f"UniVS-R50 streaming VIS FPS ({h}x{w}, T={T}, stride={stride}, {platform}; encode {t_enc/W*1000:.1f}ms/frame + decode {t_dec*1000:.1f}ms/clip)",
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / A100_REFERENCE_FPS_ESTIMATE, 3),

@@ -5,7 +5,11 @@ import jax.numpy as jnp
 import pytest
 from scipy.optimize import linear_sum_assignment
 
-from univs_tpu.losses.hungarian import hungarian
+import jax
+
+from univs_tpu.losses.hungarian import hungarian as _hungarian
+
+hungarian = jax.jit(_hungarian)  # library fn is unjitted by design
 
 
 @pytest.mark.parametrize("n,m,seed", [(1, 1, 0), (3, 3, 1), (5, 12, 2), (20, 200, 3), (40, 200, 4)])
