@@ -126,3 +126,54 @@ def test_clip_text_conversion_structure():
     assert missing == [], missing
     word, eot = enc.apply({"params": converted}, tokens)
     assert bool(jnp.isfinite(word).all())
+
+
+def test_swin_conversion_structure():
+    from univs_tpu.models.backbones.swin import SwinTransformer
+    from univs_tpu.utils.convert import convert_swin
+
+    depths = (1, 1)
+    dims = (16, 32)
+    heads = (2, 4)
+    g = torch.Generator().manual_seed(2)
+    sd = {
+        "patch_embed.proj.weight": torch.randn(16, 3, 4, 4, generator=g),
+        "patch_embed.proj.bias": torch.randn(16, generator=g),
+        "patch_embed.norm.weight": torch.ones(16),
+        "patch_embed.norm.bias": torch.zeros(16),
+    }
+    for s, depth in enumerate(depths):
+        dim = dims[s]
+        for b in range(depth):
+            q = f"layers.{s}.blocks.{b}."
+            sd[q + "norm1.weight"] = torch.ones(dim)
+            sd[q + "norm1.bias"] = torch.zeros(dim)
+            sd[q + "norm2.weight"] = torch.ones(dim)
+            sd[q + "norm2.bias"] = torch.zeros(dim)
+            sd[q + "attn.qkv.weight"] = torch.randn(3 * dim, dim, generator=g)
+            sd[q + "attn.qkv.bias"] = torch.randn(3 * dim, generator=g)
+            sd[q + "attn.proj.weight"] = torch.randn(dim, dim, generator=g)
+            sd[q + "attn.proj.bias"] = torch.randn(dim, generator=g)
+            sd[q + "attn.relative_position_bias_table"] = torch.randn(13 * 13, heads[s], generator=g)
+            sd[q + "mlp.fc1.weight"] = torch.randn(4 * dim, dim, generator=g)
+            sd[q + "mlp.fc1.bias"] = torch.randn(4 * dim, generator=g)
+            sd[q + "mlp.fc2.weight"] = torch.randn(dim, 4 * dim, generator=g)
+            sd[q + "mlp.fc2.bias"] = torch.randn(dim, generator=g)
+        if s == 0:
+            sd[f"layers.{s}.downsample.norm.weight"] = torch.ones(4 * dim)
+            sd[f"layers.{s}.downsample.norm.bias"] = torch.zeros(4 * dim)
+            sd[f"layers.{s}.downsample.reduction.weight"] = torch.randn(2 * dim, 4 * dim, generator=g)
+        sd[f"norm{s}.weight"] = torch.ones(dims[min(s, 1)])
+        sd[f"norm{s}.bias"] = torch.zeros(dims[min(s, 1)])
+
+    converted = convert_swin(flatten_torch(sd), depths=depths)
+    model = SwinTransformer(embed_dim=16, depths=depths, num_heads=heads, window=7,
+                            out_features=("res2", "res3"))
+    x = jnp.ones((1, 32, 32, 3))
+    ref = model.init(jax.random.PRNGKey(0), x)["params"]
+    from univs_tpu.utils.convert import report_unconverted
+
+    missing = report_unconverted(ref, converted)
+    assert missing == [], missing[:8]
+    out = model.apply({"params": converted}, x)
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(out))

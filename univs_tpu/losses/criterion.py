@@ -362,6 +362,30 @@ def _layer_losses_prompt(
     return losses
 
 
+def loss_masks_box_supervised(
+    pred_masks: jnp.ndarray,  # [R, H, W] matched mask logits
+    gt_boxes_masks: jnp.ndarray,  # [R, Hg, Wg] box-region binary masks
+    valid: jnp.ndarray,  # [R]
+    num_masks: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """BoxVIS projection loss: dice between x/y max-projections of the
+    predicted mask and the GT box mask
+    (video_criterion.py:618-652 loss_masks_with_box_supervised)."""
+    p = jax.nn.sigmoid(pred_masks)
+    g = gt_boxes_masks.astype(jnp.float32)
+
+    def proj_dice(a, b):  # [R, L] soft projections
+        num = 2 * (a * b).sum(-1)
+        den = (a * a).sum(-1) + (b * b).sum(-1)
+        return 1 - num / jnp.maximum(den, 1e-6)
+
+    # resize GT projections to pred resolution via interp-free max pooling
+    py = proj_dice(p.max(axis=-1), jax.image.resize(g, (g.shape[0], p.shape[1], p.shape[2]), "nearest").max(axis=-1))
+    px = proj_dice(p.max(axis=-2), jax.image.resize(g, (g.shape[0], p.shape[1], p.shape[2]), "nearest").max(axis=-2))
+    loss = ((px + py) * valid).sum() / num_masks
+    return {"loss_mask_proj": loss}
+
+
 def loss_masks_sem(
     rng: jax.Array,
     pred_masks_p: jnp.ndarray,  # [B, Qp, T, H, W] prompt-query mask logits

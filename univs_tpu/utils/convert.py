@@ -160,6 +160,48 @@ def convert_clip_text(sd: Dict[str, np.ndarray], num_layers: int = 12, width: in
     return params
 
 
+def convert_swin(sd: Dict[str, np.ndarray], depths=(2, 2, 6, 2)) -> Dict:
+    """d2/timm Swin state dict ('backbone.' prefixed or bare) ->
+    models.backbones.swin.SwinTransformer params.
+
+    Name sources (reference: mask2former/modeling/backbone/swin.py):
+    patch_embed.proj/norm, layers.S.blocks.B.{norm1, attn.{qkv, proj,
+    relative_position_bias_table}, norm2, mlp.fc1/fc2},
+    layers.S.downsample.{norm, reduction}, norm{0-3} stage outputs.
+    """
+    pre = "backbone." if any(k.startswith("backbone.patch_embed") for k in sd) else ""
+    g = lambda k: sd[pre + k]
+    params: Dict = {
+        "patch_embed": {
+            "kernel": _conv(g("patch_embed.proj.weight")),
+            "bias": g("patch_embed.proj.bias"),
+        },
+        "patch_norm": _layernorm(sd, pre + "patch_embed.norm"),
+    }
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            q = f"layers.{s}.blocks.{b}."
+            params[f"stage{s}_block{b}"] = {
+                "norm1": _layernorm(sd, pre + q + "norm1"),
+                "norm2": _layernorm(sd, pre + q + "norm2"),
+                "attn": {
+                    "qkv": _linear(sd, pre + q + "attn.qkv"),
+                    "proj": _linear(sd, pre + q + "attn.proj"),
+                    "relative_position_bias_table": g(q + "attn.relative_position_bias_table"),
+                },
+                "fc1": _linear(sd, pre + q + "mlp.fc1"),
+                "fc2": _linear(sd, pre + q + "mlp.fc2"),
+            }
+        if f"{pre}layers.{s}.downsample.reduction.weight" in sd:
+            params[f"merge_norm{s}"] = _layernorm(sd, pre + f"layers.{s}.downsample.norm")
+            params[f"merge_reduction{s}"] = {
+                "kernel": g(f"layers.{s}.downsample.reduction.weight").T
+            }
+        if f"{pre}norm{s}.weight" in sd:
+            params[f"out_norm{s}"] = _layernorm(sd, pre + f"norm{s}")
+    return params
+
+
 def report_unconverted(flax_params: Dict, converted: Dict, prefix: str = "") -> list:
     """Structural diff: leaves present in the model but missing from the
     conversion (for judge-checkable coverage)."""
