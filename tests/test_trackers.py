@@ -44,3 +44,20 @@ def test_low_score_not_admitted():
     e, l, m = _mk_clip([0])
     tr.update(0, e, l, m)
     assert len(tr.tracks) == 0
+
+
+def test_mdqe_tracker():
+    from univs_tpu.inference.trackers import MDQEOverTracker
+
+    tr = MDQEOverTracker(new_score_thres=0.25)
+    e, l, m = _mk_clip([0, 1])
+    tr.update(0, e, l, m)
+    assert len(tr.tracks) == 2
+    # matching by spatial overlap keeps identities even with noisy embds
+    e2 = e + np.random.RandomState(0).randn(*e.shape).astype(np.float32) * 0.5
+    tr.update(2, e2, l, m)
+    assert len(tr.tracks) == 2
+    # inactive tracks decay
+    e3, l3, m3 = _mk_clip([0])
+    tr.update(4, e3, l3, m3)
+    assert tr._activity[1] < 1.0

@@ -114,6 +114,40 @@ _reg("sa_1b_train_250k_1", "sa_1b/sa_1b_250k_1_cocovid.json", "sa_1b/images", No
 _reg("entityseg_instance_train", "entityseg/entityseg_insseg_train_cocovid.json", "entityseg/images", None, ns="entityseg_instance")
 _reg("entityseg_panoptic_train", "entityseg/entityseg_panseg_train_cocovid.json", "entityseg/images", None, ns="entityseg_panoptic")
 
+# ---- additional splits (reference builtin.py parity) ----------------------
+_reg("ytvis_2019_test", "ytvis_2019/test.json", "ytvis_2019/test/JPEGImages", None, ns="ytvis19")
+_reg("ytvis_2021_test", "ytvis_2021/test.json", "ytvis_2021/test/JPEGImages", None, ns="ytvis21")
+_reg("ytvis_2021_dev_merge", "ytvis_2021/instances_dev_merge.json", "ytvis_2021/train/JPEGImages", "ytvis", ns="ytvis21")
+_reg("ovis_test", "ovis/annotations_test.json", "ovis/test", None, ns="ovis")
+_reg("ovis_dev_merge", "ovis/annotations_dev_merge.json", "ovis/train", "ytvis", ns="ovis")
+_reg("mots_burst_val_vos", "burst/annotations/val_uni_vos.json", "burst/frames/val", None, task="sot", ns="burst", sot=True)
+_reg("mots_mose_dev", "mose/dev.json", "mose/train/JPEGImages", "davis", task="sot", sot=True)
+_reg("mots_mose_test", "mose/test.json", "mose/test/JPEGImages", None, task="sot", sot=True)
+_reg("sot_davis16_train", "davis/2016_train.json", "davis/JPEGImages/480p", "davis", task="sot", sot=True)
+_reg("sot_got10k_val", "got10k/val.json", "got10k/val", None, task="sot", sot=True)
+_reg("sot_got10k_test", "got10k/test.json", "got10k/test", None, task="sot", sot=True)
+_reg("sa_1b_train_250k_2", "sa_1b/sa_1b_250k_2_cocovid.json", "sa_1b/images", None, ns=None)
+_reg("lvis_v1_train_video", "lvis/lvis_v1_train_video_cocovid.json", "coco", None, ns="lvis")
+_reg("rvos-refdavis-val-1", "ref-davis/valid_1.json", "ref-davis/valid/JPEGImages", "davis", task="grounding", expr=True)
+_reg("rvos-refdavis-val-2", "ref-davis/valid_2.json", "ref-davis/valid/JPEGImages", "davis", task="grounding", expr=True)
+_reg("rvos-refdavis-val-3", "ref-davis/valid_3.json", "ref-davis/valid/JPEGImages", "davis", task="grounding", expr=True)
+_reg("rvos-refytb-test", "ref-youtube-vos/test.json", "ref-youtube-vos/test/JPEGImages", None, task="grounding", expr=True)
+_reg("refcoco+-unc-train", "refcoco/refcoco+-unc/instances_train.json", "coco/train2017", None, task="grounding", expr=True)
+_reg("refcoco+-unc-val", "refcoco/refcoco+-unc/instances_val.json", "coco/train2017", None, task="grounding", expr=True)
+_reg("refcocog-google-val", "refcoco/refcocog-google/instances_val.json", "coco/train2017", None, task="grounding", expr=True)
+_reg("refcocog-umd-train", "refcoco/refcocog-umd/instances_train.json", "coco/train2017", None, task="grounding", expr=True)
+_reg("refcocog-umd-val", "refcoco/refcocog-umd/instances_val.json", "coco/train2017", None, task="grounding", expr=True)
+_reg("coco_2017_train_video", "coco/annotations/instances_train2017_cocovid.json", "coco/train2017", "coco", ns="coco")
+_reg("coco_2017_val_video", "coco/annotations/instances_val2017_cocovid.json", "coco/val2017", "coco", ns="coco")
+_reg("ade20k_panoptic_val", "ade20k/ade20k_panoptic_val_cocovid.json", "ade20k/images/validation", None, ns="ade20k")
+_reg("objects365_train", "objects365/objects365_train_cocovid.json", "objects365/train", None, ns="objects365")
+_reg("bdd_track_train", "bdd100k/box_track_train_cocovid.json", "bdd100k/images/track/train", None, ns="bdd_track")
+_reg("bdd_track_val", "bdd100k/box_track_val_cocovid.json", "bdd100k/images/track/val", None, ns="bdd_track")
+
 # ---- raw video / demo -----------------------------------------------------
 _reg("custom_videos", "custom_videos/raw/test.json", "custom_videos/raw", None)
+_reg("custom_images", "custom_images/test.json", "custom_images", None)
 _reg("custom_videos_text", "custom_videos/raw_text/test.json", "custom_videos/raw_text", None, task="grounding", expr=True)
+_reg("internvid-flt-1", "internvid/internvid_flt_1_cocovid.json", "internvid/videos", None)
+_reg("pexels_videos", "pexels/test_cocovid.json", "pexels/videos", None)
+_reg("msrvtt_videos", "msrvtt/test_cocovid.json", "msrvtt/videos", None)

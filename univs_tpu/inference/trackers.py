@@ -118,6 +118,50 @@ class FastOverTracker:
         return out[:topk]
 
 
+class MDQEOverTracker(FastOverTracker):
+    """MDQE-style over-tracker: inter-clip matching driven primarily by
+    clip-overlap mask IoU with embedding similarity as a tie-breaker,
+    plus inactive-track score decay
+    (reference: univs/modeling/tracking/mdqe_overtracker_efficient.py:
+    12-408, simplified — the reference additionally keeps per-frame
+    score memories; here scores decay exponentially while unmatched).
+    """
+
+    def __init__(self, match_threshold: float = 0.2, decay: float = 0.9,
+                 new_score_thres: float = 0.25, max_tracks: int = 200):
+        super().__init__(match_threshold=match_threshold, siou_gate=0.0,
+                         new_score_thres=new_score_thres, max_tracks=max_tracks)
+        self.decay = decay
+        self._activity: Dict[int, float] = {}
+
+    def _similarity(self, cand_embds, cand_masks, frame_start):
+        tids = list(self.tracks)
+        if not tids:
+            return np.zeros((0, len(cand_embds)))
+        sim = np.zeros((len(tids), len(cand_embds)))
+        mem = np.stack([self.tracks[t].mean_embd() for t in tids])
+        ce = cand_embds / np.maximum(np.linalg.norm(cand_embds, axis=-1, keepdims=True), 1e-6)
+        cos = mem @ ce.T
+        for ti, t in enumerate(tids):
+            tr = self.tracks[t]
+            act = self._activity.get(t, 1.0)
+            for ci in range(len(cand_embds)):
+                siou = _mask_overlap(tr, cand_masks[ci], frame_start)
+                base = siou if siou is not None else 0.3 * cos[ti, ci]
+                sim[ti, ci] = act * (0.7 * base + 0.3 * cos[ti, ci])
+        return sim
+
+    def update(self, frame_start, embds, logits, masks):
+        before = set(self.tracks)
+        super().update(frame_start, embds, logits, masks)
+        last = frame_start + masks.shape[1] - 1
+        for t, tr in self.tracks.items():
+            if tr.last_frame >= last:
+                self._activity[t] = 1.0
+            else:
+                self._activity[t] = self._activity.get(t, 1.0) * self.decay
+
+
 def softmax(x: np.ndarray, axis: int) -> np.ndarray:
     e = np.exp(x - x.max(axis=axis, keepdims=True))
     return e / np.maximum(e.sum(axis=axis, keepdims=True), 1e-9)
