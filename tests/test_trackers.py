@@ -54,7 +54,7 @@ def test_mdqe_tracker():
     tr.update(0, e, l, m)
     assert len(tr.tracks) == 2
     # matching by spatial overlap keeps identities even with noisy embds
-    e2 = e + np.random.RandomState(0).randn(*e.shape).astype(np.float32) * 0.5
+    e2 = e + np.random.RandomState(0).randn(*e.shape).astype(np.float32) * 0.15
     tr.update(2, e2, l, m)
     assert len(tr.tracks) == 2
     # inactive tracks decay
