@@ -120,3 +120,18 @@ def test_eval_refvos_pipeline(tiny_setup):
     metrics = _eval_refvos(cfg, params, records, mapper, cls_bank)
     assert set(metrics) >= {"J", "F", "J&F"}
     assert 0.0 <= metrics["J"] <= 1.0
+
+
+def test_eval_vss_and_vps_pipelines(tiny_setup):
+    cfg, params, cls_bank = tiny_setup
+    records = _toy_records()
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+    from univs_tpu.engine import _eval_vps, _eval_vss
+
+    m1 = _eval_vss(cfg, params, records, mapper, cls_bank)
+    assert set(m1) >= {"mIoU", "mAcc"}
+    assert np.isfinite(m1["mIoU"])
+
+    m2 = _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids={1, 2})
+    assert set(m2) >= {"VPQ", "STQ"}
+    assert np.isfinite(m2["VPQ"])
