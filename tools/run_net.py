@@ -43,13 +43,20 @@ def parse_args():
     p.add_argument("--max-videos", type=int, default=None)
     p.add_argument("--output", type=str, default="output")
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--tiny", action="store_true", help="tiny model for smoke tests")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
 
 def build_cfg(args):
-    from univs_tpu.config import BackboneConfig, UniVSConfig
+    from univs_tpu.config import BackboneConfig, InferenceConfig, UniVSConfig, tiny_test_config
 
+    if getattr(args, "tiny", False):
+        return tiny_test_config().replace(
+            inference=InferenceConfig(num_frames=2, clip_stride=1, num_frames_window=4,
+                                      min_size_test=64, apply_cls_thres=0.0, topk_per_video=5,
+                                      max_num_instances=6),
+        )
     return UniVSConfig(
         backbone=BackboneConfig(name=args.backbone),
         num_frames=args.num_frames,
@@ -82,6 +89,12 @@ def init_params(cfg, cls_bank, seed=0):
 
 def main():
     args = parse_args()
+    # honor JAX_PLATFORMS even when a preloaded PJRT plugin force-set
+    # the platform config (see tests/conftest.py for the same dance)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     cfg = build_cfg(args)
 
     from univs_tpu.data.category_info import TOTAL_CATEGORY_ROWS
