@@ -1,0 +1,76 @@
+"""Train-step coverage for all three task families (detection / sot /
+grounding) on the tiny model over the 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from univs_tpu.config import TrainConfig, tiny_test_config
+from univs_tpu.losses.criterion import TrainTargets
+from univs_tpu.models.univs import UniVSModel
+from univs_tpu.parallel.mesh import make_mesh
+from univs_tpu.parallel.train_state import TrainBatch, create_train_state, make_train_step
+from univs_tpu.structures import TextPrompts
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config().replace(
+        train=TrainConfig(num_points=32, oversample_ratio=2.0),
+    )
+    model = UniVSModel(cfg)
+    B, T, H, W = 2, 2, 64, 96
+    N, K = 3, 4
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(B, T, H, W, 3) * 255, jnp.float32)
+    fi = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    cls_emb = jnp.asarray(rng.randn(K, cfg.decoder.clip_cls_emb_dim), jnp.float32)
+    tp = TextPrompts(
+        embs=jnp.broadcast_to(cls_emb[None, :, None, :], (B, K, 1, cls_emb.shape[-1])),
+        valid=jnp.ones((B, K), bool),
+    )
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "shuffle": jax.random.PRNGKey(1)},
+        images, fi, task="detection", text_prompts=tp, cls_emb=cls_emb, train=True,
+    )["params"]
+    targets = TrainTargets(
+        labels=jnp.asarray(rng.randint(1, K + 1, (B, N)), jnp.int32),
+        ids=jnp.broadcast_to(jnp.arange(N)[None, :, None], (B, N, T)).astype(jnp.int32),
+        masks=jnp.asarray(rng.rand(B, N, T, H // 4, W // 4) > 0.7, jnp.float32),
+        valid=jnp.ones((B, N), bool),
+        prompt_obj_ids=jnp.broadcast_to(jnp.arange(N)[None], (B, N)).astype(jnp.int32),
+    )
+    return cfg, model, params, images, fi, targets, cls_emb
+
+
+def _run(cfg, model, params, batch, task):
+    mesh = make_mesh(jax.devices()[:2])
+    # the train step donates the state; keep the shared fixture intact
+    state = create_train_state(cfg, jax.tree.map(jnp.copy, params))
+    step = make_train_step(cfg, model, mesh, task=task)
+    with mesh:
+        state, logged = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logged["total_loss"])), logged["total_loss"]
+    return logged
+
+
+def test_train_step_grounding(setup):
+    cfg, model, params, images, fi, targets, cls_emb = setup
+    B, N = targets.valid.shape
+    rng = np.random.RandomState(1)
+    L = 1 + 7
+    batch = TrainBatch(
+        images=images, frame_indices=fi, targets=targets,
+        exp_embs=jnp.asarray(rng.randn(B, N, L, cls_emb.shape[-1]), jnp.float32),
+        exp_valid=jnp.ones((B, N), bool),
+    )
+    logged = _run(cfg, model, params, batch, "grounding")
+    assert "loss_l2v_attn_weight" in logged
+
+
+def test_train_step_sot(setup):
+    cfg, model, params, images, fi, targets, cls_emb = setup
+    batch = TrainBatch(images=images, frame_indices=fi, targets=targets)
+    logged = _run(cfg, model, params, batch, "sot")
+    assert any(k.startswith("loss_mask") for k in logged)

@@ -61,6 +61,9 @@ class TrainBatch:
     prompt_category_valid: Optional[jnp.ndarray] = None  # [B, Qp]
     category_bank: Optional[jnp.ndarray] = None  # [K, Dt]
     category_bank_valid: Optional[jnp.ndarray] = None  # [K]
+    # grounding: per-expression [sentence; words] CLIP features
+    exp_embs: Optional[jnp.ndarray] = None  # [B, Qp, 1+L, Dt]
+    exp_valid: Optional[jnp.ndarray] = None  # [B, Qp]
 
 
 def _label_params(params) -> Any:
@@ -136,6 +139,7 @@ def make_train_step(
     def loss_fn(params, batch: TrainBatch, rng):
         r_model, r_crit, r_shuffle, r_prompt = jax.random.split(rng, 4)
         kwargs = dict(train=True)
+        level_sizes = None
         if task == "detection":
             tp = TextPrompts(
                 embs=batch.prompt_category_embs[:, :, None, :],
@@ -143,6 +147,12 @@ def make_train_step(
             )
             kwargs.update(text_prompts=tp, cls_emb=batch.category_bank)
             cls_valid = batch.category_bank_valid
+        elif task == "grounding":
+            tp = TextPrompts(embs=batch.exp_embs, valid=batch.exp_valid)
+            kwargs.update(text_prompts=tp)
+            cls_valid = jnp.ones((1,), bool)
+            h, w = batch.images.shape[2:4]
+            level_sizes = ((h // 32, w // 32), (h // 16, w // 16), (h // 8, w // 8))
         else:  # sot: GT-driven visual prompts
             B, N = batch.targets.valid.shape
             T = batch.images.shape[1]
@@ -166,7 +176,12 @@ def make_train_step(
                 targets.valid, jnp.arange(targets.valid.shape[1])[None], -1
             )
             targets = dataclasses.replace(targets, prompt_obj_ids=poi)
-        total, logged = criterion(r_crit, out, targets, cls_valid, task=task)
+        total, logged = criterion(
+            r_crit, out, targets, cls_valid, task=task,
+            sem_loss=(task == "detection"),
+            level_sizes=level_sizes,
+            tokens_per_prompt=(batch.exp_embs.shape[2] if task == "grounding" else 1),
+        )
         return total, logged
 
     tx = None  # created lazily against param structure
