@@ -186,7 +186,7 @@ def match_video(
     N = labels.shape[0]
     # class cost: sigmoid -> x5 -> softmax -> -prob[label]
     prob = jax.nn.softmax(jax.nn.sigmoid(pred_logits) * 5.0, axis=-1)
-    lbl = jnp.clip(labels - 1, 0)
+    lbl = jnp.clip(labels - 1, 0, prob.shape[-1] - 1)
     cost_class = -prob[:, lbl]  # [Q, N]
 
     # shared random points for all masks (video_matcher.py:166)
@@ -233,6 +233,7 @@ def _layer_losses_learnable(
     num_masks: jnp.ndarray,  # scalar: global valid count * T
     cfg: TrainConfig,
     task: str,
+    class_loss: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     B, Ql, K = pred_logits.shape
     T = pred_masks.shape[2]
@@ -249,9 +250,9 @@ def _layer_losses_learnable(
     losses: Dict[str, jnp.ndarray] = {}
 
     # ---- labels (video_criterion.py:346-407) -------------------------
-    if task != "grounding":
+    if task != "grounding" and class_loss:
         tgt_onehot = jnp.zeros((B, Ql, K))
-        lbl0 = jnp.clip(targets.labels - 1, 0)
+        lbl0 = jnp.clip(targets.labels - 1, 0, K - 1)
         upd = targets.valid.astype(jnp.float32)
         tgt_onehot = jax.vmap(
             lambda oh, q, l, u: oh.at[q, l].max(u)
@@ -313,6 +314,7 @@ def _layer_losses_prompt(
     num_masks: jnp.ndarray,
     cfg: TrainConfig,
     task: str,
+    class_loss: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed assignment: prompt slot i is bound to target
     prompt_obj_ids[i] (video_criterion_prompt.py)."""
@@ -326,9 +328,9 @@ def _layer_losses_prompt(
     losses: Dict[str, jnp.ndarray] = {}
 
     # ---- labels ------------------------------------------------------
-    if task != "grounding":
+    if task != "grounding" and class_loss:
         lbl = jax.vmap(lambda l, q: l[q])(targets.labels, pclip)  # [B, Qp]
-        lbl0 = jnp.clip(lbl - 1, 0)
+        lbl0 = jnp.clip(lbl - 1, 0, K - 1)
         oh = jax.nn.one_hot(lbl0, K) * pvalid[..., None]
         focal = jax.vmap(lambda lg, o: focal_conf_sigmoid(lg, o, cls_valid))(pred_logits, oh)
         nb = pvalid.sum(-1)
@@ -548,6 +550,7 @@ class UniCriterion:
         cls_valid: jnp.ndarray,  # [K] valid category columns
         task: str = "detection",
         learnable_enabled: bool = True,
+        class_loss: bool = True,
         sem_loss: bool = False,
         level_sizes=None,
         tokens_per_prompt: int = 1,
@@ -573,7 +576,7 @@ class UniCriterion:
                     layer["pred_logits"][:, :Ql],
                     layer["pred_masks"][:, :Ql],
                     layer["pred_embds"][:, :Ql],
-                    targets, cls_valid, num_masks, self.cfg, task,
+                    targets, cls_valid, num_masks, self.cfg, task, class_loss,
                 )
                 merged.update(ll)
             if has_prompt:
@@ -582,7 +585,7 @@ class UniCriterion:
                     layer["pred_logits"][:, Ql:],
                     layer["pred_masks"][:, Ql:],
                     layer["pred_embds"][:, Ql:],
-                    targets, cls_valid, num_masks, self.cfg, task,
+                    targets, cls_valid, num_masks, self.cfg, task, class_loss,
                 )
                 for k, v in lp.items():
                     merged[k] = 0.5 * (merged[k] + v) if k in merged else v

@@ -178,6 +178,10 @@ def make_train_step(
             targets = dataclasses.replace(targets, prompt_obj_ids=poi)
         total, logged = criterion(
             r_crit, out, targets, cls_valid, task=task,
+            # sot datasets without a category namespace skip the class
+            # loss (reference: loss_labels_clip continues when the
+            # dataset is absent from combined_datasets_category_info)
+            class_loss=(task != "sot"),
             sem_loss=(task == "detection"),
             level_sizes=level_sizes,
             tokens_per_prompt=(batch.exp_embs.shape[2] if task == "grounding" else 1),
