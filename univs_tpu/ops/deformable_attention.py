@@ -139,10 +139,11 @@ def ms_deform_attn(
     assert L == len(spatial_shapes)
 
     f32 = jnp.float32
-    loc = sampling_locations.astype(f32)
-    w_attn = attention_weights.astype(f32)
+    # ONE head-major transpose up front; all per-level math then happens
+    # in the gather layout (no per-level moveaxis of Lq-sized tensors)
+    loc = jnp.moveaxis(sampling_locations, 2, 1).astype(f32)  # [N, M, Lq, L, P, 2]
+    w_attn = jnp.moveaxis(attention_weights, 2, 1).astype(f32)  # [N, M, Lq, L, P]
 
-    # per-head value maps per level
     starts = [0]
     for (h, w) in spatial_shapes:
         starts.append(starts[-1] + h * w)
@@ -154,13 +155,13 @@ def ms_deform_attn(
     out = jnp.zeros((N, M, Lq, D), f32)
     for lid, (h, w) in enumerate(spatial_shapes):
         # [N, M, H+2, W+2, D] zero-padded level map (per-head).  Gather
-        # in the INPUT dtype (bf16 halves gather time on v5e: 107ms vs
-        # 159ms per layer's samples); accumulate fp32 after the gather.
+        # in the INPUT dtype (bf16 is ~1.5x faster than fp32 on v5e);
+        # accumulate fp32 after the gather.
         vl = value[:, starts[lid] : starts[lid + 1]].reshape(N, h, w, M, D)
         vl = jnp.moveaxis(vl, 3, 1)  # [N, M, h, w, D]
         vp = jnp.pad(vl, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
 
-        x = loc[:, :, :, lid, :, 0] * w - 0.5  # [N, Lq, M, P]
+        x = loc[:, :, :, lid, :, 0] * w - 0.5  # [N, M, Lq, P]
         y = loc[:, :, :, lid, :, 1] * h - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
@@ -168,21 +169,18 @@ def ms_deform_attn(
         fy = y - y0
 
         # corner validity (true coords) -> per-corner weights [.., 2, 2]
-        vx0 = (x0 >= 0) & (x0 <= w - 1)
-        vx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
-        vy0 = (y0 >= 0) & (y0 <= h - 1)
-        vy1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
-        wx = jnp.stack([(1 - fx) * vx0, fx * vx1], -1)  # [.., 2]
-        wy = jnp.stack([(1 - fy) * vy0, fy * vy1], -1)
-        wcorner = wy[..., :, None] * wx[..., None, :]  # [N, Lq, M, P, 2, 2]
-        wcorner = wcorner * w_attn[:, :, :, lid, :, None, None]
+        wa = w_attn[:, :, :, lid]  # [N, M, Lq, P]
+        wx = jnp.stack(
+            [(1 - fx) * ((x0 >= 0) & (x0 <= w - 1)), fx * ((x0 + 1 >= 0) & (x0 + 1 <= w - 1))], -1
+        )  # [.., 2]
+        wy = jnp.stack(
+            [(1 - fy) * ((y0 >= 0) & (y0 <= h - 1)) * wa, fy * ((y0 + 1 >= 0) & (y0 + 1 <= h - 1)) * wa], -1
+        )
+        wcorner = (wy[..., :, None] * wx[..., None, :]).astype(value.dtype)
 
         # patch starts in padded coords, clamped so patches stay in range
-        sy = jnp.clip(y0 + 1, 0, h).astype(jnp.int32)
-        sx = jnp.clip(x0 + 1, 0, w).astype(jnp.int32)
-        # -> [N, M, Lq*P, 2]
-        sy = jnp.moveaxis(sy, 2, 1).reshape(N, M, Lq * P)
-        sx = jnp.moveaxis(sx, 2, 1).reshape(N, M, Lq * P)
+        sy = jnp.clip(y0 + 1, 0, h).astype(jnp.int32).reshape(N, M, Lq * P)
+        sx = jnp.clip(x0 + 1, 0, w).astype(jnp.int32).reshape(N, M, Lq * P)
         starts_idx = jnp.stack([sy, sx], axis=-1)
 
         def gather_one(vmap_, st):
@@ -193,9 +191,8 @@ def ms_deform_attn(
 
         patches = jax.vmap(jax.vmap(gather_one))(vp, starts_idx)  # [N, M, K, 2, 2, D]
         patches = patches.reshape(N, M, Lq, P, 2, 2, D)
-        wc = jnp.moveaxis(wcorner, 2, 1).astype(patches.dtype)  # [N, M, Lq, P, 2, 2]
         out = out + jnp.einsum(
-            "nmqpijd,nmqpij->nmqd", patches, wc, preferred_element_type=jnp.float32
+            "nmqpijd,nmqpij->nmqd", patches, wcorner, preferred_element_type=jnp.float32
         )
 
     out = jnp.moveaxis(out, 1, 2).reshape(N, Lq, M * D)
