@@ -73,3 +73,15 @@ def test_semantic_extraction(setup):
     assert toks.shape == (3, cfg.decoder.hidden_dim, cfg.decoder.num_queries)
     assert mfs.shape == (3, 2, 3, cfg.pixel_decoder.mask_dim)
     assert np.isfinite(toks).all()
+
+
+def test_fast_vps_driver(setup):
+    from univs_tpu.inference.fast_vis import FastVPSDriver
+
+    cfg, params, cls_bank = setup
+    frames = np.random.RandomState(3).rand(4, 64, 96, 3).astype(np.float32) * 255
+    driver = FastVPSDriver(cfg, params)
+    pan, infos = driver.run_vps(frames, cls_bank, thing_class_ids={1, 2}, object_thres=0.0)
+    assert pan.shape == (4, 16, 24)
+    assert all({"id", "isthing", "category_id"} <= set(i) for i in infos)
+    assert pan.max() <= len(infos)

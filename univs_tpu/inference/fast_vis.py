@@ -109,6 +109,57 @@ class FastVISDriver:
         ]
 
 
+class FastVPSDriver(FastVISDriver):
+    """Non-unified online VPS: per-clip learnable-query outputs matched
+    across clips by a host-side tracker, then panoptic stitching
+    (reference: univs/inference/inference_video_vps.py:35-406 —
+    per-clip panoptic with embedding matching match_from_embds :295).
+    """
+
+    def run_vps(self, frames: np.ndarray, cls_emb, thing_class_ids,
+                object_thres: float = 0.25):
+        from univs_tpu.inference.trackers import FastOverTracker
+
+        V = frames.shape[0]
+        frames_j = jnp.asarray(frames, jnp.float32)
+        tracker = FastOverTracker(new_score_thres=object_thres)
+        for i in range(0, V, self.T):
+            idx = np.minimum(np.arange(i, i + self.T), V - 1)
+            logits, masks, embds = self._clip_fn(
+                self.params, frames_j[idx], jnp.asarray(idx), cls_emb
+            )
+            n_keep = min(self.T, V - i)
+            tracker.update(i, np.asarray(embds), np.asarray(logits),
+                           np.asarray(masks[:, :n_keep]))
+        results = tracker.results(V)
+
+        h4, w4 = masks.shape[-2:]
+        pan = np.zeros((V, h4, w4), np.int32)
+        infos = []
+        thing_memory, stuff_memory = {}, {}
+        seg_id = 0
+        for t in range(V):
+            order = sorted(results, key=lambda r: -float(np.max(r["score"])))
+            taken = np.zeros((h4, w4), bool)
+            for r in order:
+                if t not in r["masks"]:
+                    continue
+                m = (r["masks"][t] > 0) & ~taken
+                if m.sum() == 0:
+                    continue
+                c = r["category_id"]
+                isthing = (c + 1) in thing_class_ids
+                key = r["track_id"] if isthing else c
+                memory = thing_memory if isthing else stuff_memory
+                if key not in memory:
+                    seg_id += 1
+                    memory[key] = seg_id
+                    infos.append({"id": seg_id, "isthing": isthing, "category_id": c + 1})
+                pan[t][m] = memory[key]
+                taken |= m
+        return pan, infos
+
+
 def image_instance_postprocess(
     logits: np.ndarray,  # [Q, K] sigmoid scores
     masks: np.ndarray,  # [Q, H, W] logits
