@@ -107,7 +107,7 @@ def test_decoder_detection_with_text_prompts():
     assert out["pred_logits"].shape == (b, Q, K)
     assert out["pred_masks"].shape == (b, Q, t, 16, 24)
     assert out["pred_embds"].shape == (b, Q, t, 32)
-    assert len(out["aux_outputs"]) == 3
+    assert out["aux_outputs"] == []  # aux only materialized at train
     assert bool(jnp.isfinite(out["pred_masks"]).all())
     assert bool(jnp.isfinite(out["pred_logits"]).all())
 

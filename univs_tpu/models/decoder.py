@@ -254,37 +254,51 @@ class UniVSDecoder(nn.Module):
         self,
         output: jnp.ndarray,  # [B*T, Q, C]
         mask_features: jnp.ndarray,  # [B, T, H, W, Cm]
-        attn_size: Tuple[int, int],
+        mask_features_small: jnp.ndarray,  # [B, T, h_l, w_l, Cm] at attn res
         task: str,
         cls_emb: Optional[jnp.ndarray],
         exp_sentence: Optional[jnp.ndarray],  # [B, Qe, D_text] grounding
         b: int,
         t: int,
         train: bool,
+        need_outputs: bool = True,
     ):
+        """Per-layer heads + next-layer attention bias.
+
+        The bias is computed from PRE-DOWNSAMPLED mask features:
+        bilinear resize is linear in the pixel values, so
+        resize(einsum(e, mf)) == einsum(e, resize(mf)) exactly — the
+        reference's full-res-masks-then-resize (decoder_univs.py:555-560)
+        is reproduced bit-for-bit at a fraction of the cost.  With
+        ``need_outputs=False`` (inference aux layers, whose outputs are
+        discarded) the full-resolution mask einsum is skipped entirely.
+        """
         Q = output.shape[1]
         dec = self.decoder_norm(output)  # [B*T, Q, C]
-        cls_feats = self.vis2text(dec)  # [B*T, Q, Dt]
-
-        if task != "grounding":
-            k = cls_emb / jnp.maximum(jnp.linalg.norm(cls_emb, axis=-1, keepdims=True), 1e-12)
-            q = cls_feats / jnp.maximum(jnp.linalg.norm(cls_feats, axis=-1, keepdims=True), 1e-12)
-            logits = jnp.einsum("nqc,kc->nqk", q, k.astype(q.dtype))
-            logits = logits.reshape(b, t, Q, -1).mean(axis=1) * jnp.exp(self.cls_temp)
-        else:
-            cf = cls_feats.reshape(b, t, Q, -1).mean(axis=1)
-            logits = jnp.einsum("bqc,bkc->bqk", cf, exp_sentence.astype(cf.dtype))
-            if train:
-                logits = logits / dec.shape[-1]
 
         membed = self.mask_embed(dec).reshape(b, t, Q, -1)
         if train and self.temporal_query_shuffle and t > 1:
             perm = jax.random.permutation(self.make_rng("shuffle"), t)
             membed = membed[:, perm]
-        masks = jnp.einsum("btqc,bthwc->bqthw", membed, mask_features)
 
-        dec_btqc = dec.reshape(b, t, Q, -1)
-        embds_raw = dec_btqc.transpose(0, 2, 1, 3)  # [B, Q, T, C]
+        logits = masks = embds_raw = None
+        l4p_idx = None
+        if need_outputs:
+            cls_feats = self.vis2text(dec)  # [B*T, Q, Dt]
+            if task != "grounding":
+                k = cls_emb / jnp.maximum(jnp.linalg.norm(cls_emb, axis=-1, keepdims=True), 1e-12)
+                q = cls_feats / jnp.maximum(jnp.linalg.norm(cls_feats, axis=-1, keepdims=True), 1e-12)
+                logits = jnp.einsum("nqc,kc->nqk", q, k.astype(q.dtype))
+                logits = logits.reshape(b, t, Q, -1).mean(axis=1) * jnp.exp(self.cls_temp)
+            else:
+                cf = cls_feats.reshape(b, t, Q, -1).mean(axis=1)
+                logits = jnp.einsum("bqc,bkc->bqk", cf, exp_sentence.astype(cf.dtype))
+                if train:
+                    logits = logits / dec.shape[-1]
+
+            masks = jnp.einsum("btqc,bthwc->bqthw", membed, mask_features)
+            dec_btqc = dec.reshape(b, t, Q, -1)
+            embds_raw = dec_btqc.transpose(0, 2, 1, 3)  # [B, Q, T, C]
 
         # l4p fusion (inference grounding): blend best-matching learnable
         # query's masks into each prompt query's masks (decoder_univs.py:536-551)
@@ -293,17 +307,24 @@ class UniVSDecoder(nn.Module):
             sim = jnp.einsum("nqc,nkc->nqk", norm, norm[:, self.num_queries :])
             sim = sim.reshape(b, t, Q, -1).mean(axis=1)  # [B, Q, Qp]
             l4p_idx = jnp.argmax(sim[:, : self.num_queries], axis=1)  # [B, Qp]
-            learn_masks = jnp.take_along_axis(
-                masks, l4p_idx[:, :, None, None, None], axis=1
-            )  # [B, Qp, T, H, W]
-            fused = (masks[:, self.num_queries :] + learn_masks) / 2.0
-            masks = jnp.concatenate([masks[:, : self.num_queries], fused], axis=1)
+            if need_outputs:
+                learn_masks = jnp.take_along_axis(
+                    masks, l4p_idx[:, :, None, None, None], axis=1
+                )  # [B, Qp, T, H, W]
+                fused = (masks[:, self.num_queries :] + learn_masks) / 2.0
+                masks = jnp.concatenate([masks[:, : self.num_queries], fused], axis=1)
 
-        # attention bias for next layer's masked cross-attn
-        m = jax.image.resize(
-            masks.astype(jnp.float32), masks.shape[:3] + attn_size, method="bilinear"
-        )  # [B, Q, T, h, w]
-        allowed = jax.nn.sigmoid(m) >= 0.5
+        # attention bias for next layer's masked cross-attn, computed at
+        # the attention resolution directly (exact — see docstring)
+        m_small = jnp.einsum("btqc,bthwc->bqthw", membed, mask_features_small)
+        m_small = m_small.astype(jnp.float32)
+        if l4p_idx is not None:  # mirror the fusion on the bias path
+            learn_small = jnp.take_along_axis(
+                m_small, l4p_idx[:, :, None, None, None], axis=1
+            )
+            fused_small = (m_small[:, self.num_queries :] + learn_small) / 2.0
+            m_small = jnp.concatenate([m_small[:, : self.num_queries], fused_small], axis=1)
+        allowed = jax.nn.sigmoid(m_small) >= 0.5
         # all-masked-row fixup (decoder_univs.py:390): row with nothing
         # allowed attends everywhere
         any_allowed = allowed.any(axis=(-2, -1), keepdims=True)
@@ -392,9 +413,21 @@ class UniVSDecoder(nn.Module):
             # sentence embedding per expression in CLIP space (pre-projection)
             exp_sentence = text_prompts.embs[:, :, 0]  # [B, Qe, Dt]
 
+        # pre-downsampled mask features per attention level (bilinear
+        # resize is linear -> bias from these is EXACTLY the reference's
+        # resized full-res mask logits; see _prediction_heads)
+        mf_small = [
+            jax.image.resize(
+                mask_features.astype(jnp.float32), (b, t, h, w, mask_features.shape[-1]),
+                method="bilinear",
+            ).astype(mask_features.dtype)
+            for (h, w) in sizes
+        ]
+
         # --- initial predictions --------------------------------------
         logits, masks, embds_raw, attn_bias = self._prediction_heads(
-            output, mask_features, sizes[0], task, cls_emb, exp_sentence, b, t, train
+            output, mask_features, mf_small[0], task, cls_emb, exp_sentence, b, t, train,
+            need_outputs=train,
         )
         all_preds: List[Tuple] = [(logits, masks, embds_raw)]
 
@@ -419,9 +452,11 @@ class UniVSDecoder(nn.Module):
 
             output = self.ffn_layers[i](output)
 
+            final = i == self.num_layers - 1
             logits, masks, embds_raw, attn_bias = self._prediction_heads(
-                output, mask_features, sizes[(i + 1) % self.num_feature_levels],
+                output, mask_features, mf_small[(i + 1) % self.num_feature_levels],
                 task, cls_emb, exp_sentence, b, t, train,
+                need_outputs=train or final,
             )
             all_preds.append((logits, masks, embds_raw))
 
@@ -432,7 +467,7 @@ class UniVSDecoder(nn.Module):
             return {"pred_logits": lg, "pred_masks": mk, "pred_embds": er}
 
         out = to_out(all_preds[-1])
-        out["aux_outputs"] = [to_out(p) for p in all_preds[:-1]]
+        out["aux_outputs"] = [to_out(p) for p in all_preds[:-1]] if train else []
         if aux_l2v is not None:
             out["l2v_attn_weights"] = aux_l2v
         if prompts is not None:
