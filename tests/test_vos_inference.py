@@ -75,3 +75,57 @@ def test_vos_two_clips():
     pool2, aux2 = step(sub, feats, pool1, jnp.arange(1, T + 1), jnp.int32(1), cls_emb)
     assert bool(jnp.isfinite(pool2.mask_logits).all())
     assert bool(jnp.isfinite(aux2["sim"]).all())
+
+    # learn / prompt+learn back-end re-ID variants share the same step
+    for mode in ("learn", "prompt+learn"):
+        step_m = jax.jit(
+            lambda params, feats, pool, fi, off, cls_emb: vos_clip_step(
+                modules, params, feats, pool, fi, off, cls_emb, cc, query_mode=mode,
+            )
+        )
+        pool_m, aux_m = step_m(sub, feats, pool1, jnp.arange(1, T + 1), jnp.int32(1), cls_emb)
+        assert bool(jnp.isfinite(pool_m.mask_logits).all()), mode
+        assert bool(jnp.isfinite(aux_m["sim"]).all()), mode
+
+
+def test_match_learn_first_appear_picks_best_query():
+    from univs_tpu.inference.vos import match_learn_first_appear
+
+    Q, T, H, W = 6, 2, 16, 24
+    masks_l = np.full((Q, T, H, W), -10.0, np.float32)
+    gt = np.zeros((2, H, W), np.float32)
+    gt[0, 2:8, 2:10] = 1
+    gt[1, 9:14, 12:20] = 1
+    # query 4 matches object 0 exactly at frame 0; query 1 overlaps worse
+    masks_l[4, 0, 2:8, 2:10] = 10.0
+    masks_l[1, 0, 2:9, 2:12] = 10.0
+    # query 2 matches object 1 at frame 1
+    masks_l[2, 1, 9:14, 12:20] = 10.0
+    idx = match_learn_first_appear(
+        jnp.asarray(masks_l), jnp.asarray(gt), jnp.array([0, 1]), topk=3
+    )
+    assert int(idx[0]) == 4
+    assert int(idx[1]) == 2
+
+
+def test_match_learn_appeared_hungarian():
+    from univs_tpu.inference.vos import match_learn_appeared
+
+    N, Q, T, C = 3, 8, 2, 16
+    rng = np.random.RandomState(0)
+    pool = mp.create_entity_memory(
+        N, 5, C, (4, 6), window=4, num_prompt_points=4, embd_history=4, prompt_history=4,
+    )
+    tgt = rng.randn(N, C).astype(np.float32)
+    embds = np.zeros((N, 4, C), np.float32)
+    embds[:, -1] = tgt  # only most recent frame populated
+    pool = pool.replace(embds=jnp.asarray(embds), valid=jnp.array([True, True, False]))
+    # learnable queries: slots 0/1 live at query indices 5/2
+    cur = rng.randn(Q, T, C).astype(np.float32)
+    cur[5] = tgt[0]
+    cur[2] = tgt[1]
+    slot2cand, sim = match_learn_appeared(pool, jnp.asarray(cur), num_prev=3)
+    assert int(slot2cand[0]) == 5
+    assert int(slot2cand[1]) == 2
+    assert float(sim[0]) > 0.9 and float(sim[1]) > 0.9
+    assert int(slot2cand[2]) == -1 and float(sim[2]) == 0.0

@@ -44,6 +44,10 @@ def parse_args():
     p.add_argument("--output", type=str, default="output")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--tiny", action="store_true", help="tiny model for smoke tests")
+    p.add_argument("--vos-queries", type=str, default="prompt",
+                   choices=["prompt", "learn", "prompt+learn"],
+                   help="VOS back-end re-ID variant "
+                        "(VIDEO_UNIFIED_INFERENCE_QUERIES)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -51,17 +55,20 @@ def parse_args():
 def build_cfg(args):
     from univs_tpu.config import BackboneConfig, InferenceConfig, UniVSConfig, tiny_test_config
 
+    vq = getattr(args, "vos_queries", "prompt")
     if getattr(args, "tiny", False):
         return tiny_test_config().replace(
             inference=InferenceConfig(num_frames=2, clip_stride=1, num_frames_window=4,
                                       min_size_test=64, apply_cls_thres=0.0, topk_per_video=5,
-                                      max_num_instances=6),
+                                      max_num_instances=6,
+                                      video_unified_inference_queries=vq),
         )
-    return UniVSConfig(
+    cfg = UniVSConfig(
         backbone=BackboneConfig(name=args.backbone),
         num_frames=args.num_frames,
         dtype="bfloat16" if args.bf16 else "float32",
     )
+    return cfg.replace(inference=cfg.inference.replace(video_unified_inference_queries=vq))
 
 
 def init_params(cfg, cls_bank, seed=0):
@@ -110,7 +117,12 @@ def main():
         if args.weights:
             params = load_params(args.weights)
         pt = PrepareTargets(bank)
-        cls_slice = pt.category_slice(args.dataset)
+        try:
+            cls_slice = pt.category_slice(args.dataset)
+        except KeyError:
+            # class-agnostic VOS/SOT/MOSE datasets have no category
+            # namespace; the drivers only need a nonempty cls_emb
+            cls_slice = bank[:1]
         metrics = evaluate_dataset(
             cfg, params, args.dataset, cls_slice,
             max_videos=args.max_videos, output_dir=args.output,

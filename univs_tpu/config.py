@@ -129,6 +129,10 @@ class InferenceConfig:
     max_num_instances: int = 60
     topk_per_video: int = 25
     semantic_extraction_enable: bool = False
+    # VOS back-end re-ID variant: 'prompt' | 'learn' | 'prompt+learn'
+    # (reference: VIDEO_UNIFIED_INFERENCE_QUERIES,
+    #  inference_video_vos.py:337-496)
+    video_unified_inference_queries: str = "prompt"
 
 
 @dataclass(frozen=True)

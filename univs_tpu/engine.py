@@ -183,7 +183,8 @@ def _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=None):
         s = mapper(rec)
         n = len(exprs)
         cap = max(n, 1)
-        driver = VOSDriver(cfg, params, capacity=cap, num_classes=cls_bank.shape[0])
+        driver = VOSDriver(cfg, params, capacity=cap, num_classes=cls_bank.shape[0],
+                           query_mode=cfg.inference.video_unified_inference_queries)
         if text_encoder is not None:
             from univs_tpu.prompts.prepare_targets import PrepareTargets
 

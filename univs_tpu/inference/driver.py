@@ -30,6 +30,86 @@ from univs_tpu.models.univs import (
 )
 from univs_tpu.utils import rle
 
+# jitted step functions shared across driver instances, keyed by config
+# (see EntityDriver.__init__ for why)
+_DRIVER_JIT_MEMO: Dict = {}
+
+
+def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
+    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+
+    @jax.jit
+    def encode_window_fn(params, frames):
+        # backbone + per-frame pixel decoder, amortized per window
+        # (the reference reruns the encoder per clip — see
+        # inference/entity.py docstring)
+        x = ((frames - mean) / std).astype(dtype)
+        feats = backbone.apply({"params": params["backbone"]}, x)
+        mask_features, _, _, ms = modules[0].apply(
+            {"params": params["pixel_decoder"]}, feats
+        )
+        return mask_features, tuple(ms)
+
+    @jax.jit
+    def clip_fn(params, feats, pool, frame_indices, clip_offset, is_first, cls_emb):
+        return entity_clip_step(
+            modules, params, feats, pool, frame_indices,
+            clip_offset, is_first, cls_emb, cc,
+        )
+
+    @jax.jit
+    def shift_fn(pool):
+        return mp.shift_clip(pool, stride)
+
+    @functools.partial(jax.jit, static_argnames=("out_frames",))
+    def emit_fn(pool, out_frames: int):
+        masks = pool.mask_logits[:, :out_frames]
+        occ = jnp.maximum(pool.occurrence[:, :out_frames], 1.0)
+        masks = masks / occ[:, :, None, None]
+        return masks.astype(jnp.float16), mp.evict_window(pool, out_frames)
+
+    return encode_window_fn, clip_fn, shift_fn, emit_fn
+
+
+def _build_vos_fns(cfg, backbone, modules, cc, stride, dtype, query_mode):
+    from univs_tpu.inference.vos import inject_gt_first_appearance, vos_clip_step
+    from univs_tpu.structures import TextPrompts
+
+    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+
+    @jax.jit
+    def encode_window_fn(params, frames):
+        x = ((frames - mean) / std).astype(dtype)
+        feats = backbone.apply({"params": params["backbone"]}, x)
+        mask_features, _, _, ms = modules[0].apply(
+            {"params": params["pixel_decoder"]}, feats
+        )
+        return mask_features, tuple(ms)
+
+    @jax.jit
+    def clip_fn(params, feats, pool, gt_clip, faf, obj_valid, frame_indices, clip_offset, cls_emb):
+        pool = inject_gt_first_appearance(pool, gt_clip, faf, obj_valid, frame_indices, clip_offset)
+        return vos_clip_step(modules, params, feats, pool, frame_indices,
+                             clip_offset, cls_emb, cc, query_mode=query_mode)
+
+    @jax.jit
+    def grounding_clip_fn(params, feats, pool, frame_indices, clip_offset, cls_emb, text_embs, text_valid):
+        tp = TextPrompts(embs=text_embs, valid=text_valid)
+        return vos_clip_step(modules, params, feats, pool, frame_indices,
+                             clip_offset, cls_emb, cc,
+                             text_prompts=tp, task="grounding")
+
+    shift_fn = jax.jit(lambda pool: mp.shift_clip(pool, stride))
+
+    @functools.partial(jax.jit, static_argnames=("out_frames",))
+    def emit_fn(pool, out_frames: int):
+        masks = pool.mask_logits[:, :out_frames]
+        return masks.astype(jnp.float16), mp.evict_window(pool, out_frames)
+
+    return encode_window_fn, clip_fn, grounding_clip_fn, shift_fn, emit_fn
+
 
 class EntityDriver:
     """Category-guided VIS/VPS/VSS over one video.
@@ -68,46 +148,22 @@ class EntityDriver:
         dtype = compute_dtype_of(cfg)
         self._backbone = build_backbone(cfg.backbone, dtype=dtype)
         self._modules = (build_pixel_decoder(cfg), build_decoder(cfg))
-        mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
-        std = jnp.asarray(cfg.pixel_std, jnp.float32)
 
-        @jax.jit
-        def encode_window_fn(params, frames):
-            # backbone + per-frame pixel decoder, amortized per window
-            # (the reference reruns the encoder per clip — see
-            # inference/entity.py docstring)
-            x = ((frames - mean) / std).astype(dtype)
-            feats = self._backbone.apply({"params": params["backbone"]}, x)
-            mask_features, _, _, ms = self._modules[0].apply(
-                {"params": params["pixel_decoder"]}, feats
+        # One set of jitted step functions per distinct config, shared
+        # by every driver instance.  Besides avoiding pointless
+        # recompiles when several evaluations run in one process, this
+        # sidesteps a bug in this stack's preloaded PJRT plugin where a
+        # SECOND independently-traced executable of the entity clip
+        # step fails at dispatch with "Execution supplied N buffers but
+        # compiled program expected M".
+        memo_key = ("entity", cfg)
+        fns = _DRIVER_JIT_MEMO.get(memo_key)
+        if fns is None:
+            fns = _build_entity_fns(
+                cfg, self._backbone, self._modules, self.cc, self.stride, dtype
             )
-            return mask_features, tuple(ms)
-
-        self._encode_window_fn = encode_window_fn
-
-        @functools.partial(jax.jit, static_argnames=())
-        def clip_fn(params, feats, pool, frame_indices, clip_offset, is_first, cls_emb):
-            return entity_clip_step(
-                self._modules, params, feats, pool, frame_indices,
-                clip_offset, is_first, cls_emb, self.cc,
-            )
-
-        self._clip_fn = clip_fn
-
-        @jax.jit
-        def shift_fn(pool):
-            return mp.shift_clip(pool, self.stride)
-
-        self._shift_fn = shift_fn
-
-        @functools.partial(jax.jit, static_argnames=("out_frames",))
-        def emit_fn(pool, out_frames: int):
-            masks = pool.mask_logits[:, :out_frames]
-            occ = jnp.maximum(pool.occurrence[:, :out_frames], 1.0)
-            masks = masks / occ[:, :, None, None]
-            return masks.astype(jnp.float16), mp.evict_window(pool, out_frames)
-
-        self._emit_fn = emit_fn
+            _DRIVER_JIT_MEMO[memo_key] = fns
+        self._encode_window_fn, self._clip_fn, self._shift_fn, self._emit_fn = fns
 
     # ------------------------------------------------------------------
 
@@ -314,10 +370,12 @@ class VOSDriver:
     ``InferenceVideoVOS.inference_video_vos``
     (reference: inference_video_vos.py:243-284)."""
 
-    def __init__(self, cfg: UniVSConfig, params, capacity: int, num_classes: int = 1):
+    def __init__(self, cfg: UniVSConfig, params, capacity: int, num_classes: int = 1,
+                 query_mode: str = "prompt"):
         self.cfg = cfg
         self.params = params
         self.capacity = capacity
+        self.query_mode = query_mode
         inf = cfg.inference
         self.T = inf.num_frames
         self.stride = inf.clip_stride
@@ -333,52 +391,19 @@ class VOSDriver:
         dtype = compute_dtype_of(cfg)
         self._backbone = build_backbone(cfg.backbone, dtype=dtype)
         self._modules = (build_pixel_decoder(cfg), build_decoder(cfg))
-        mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
-        std = jnp.asarray(cfg.pixel_std, jnp.float32)
         self.num_classes = num_classes
 
-        @jax.jit
-        def encode_window_fn(params, frames):
-            # backbone + per-frame pixel decoder, amortized per window
-            # (the reference reruns the encoder per clip — see
-            # inference/entity.py docstring)
-            x = ((frames - mean) / std).astype(dtype)
-            feats = self._backbone.apply({"params": params["backbone"]}, x)
-            mask_features, _, _, ms = self._modules[0].apply(
-                {"params": params["pixel_decoder"]}, feats
+        # shared jitted step functions per config (see _DRIVER_JIT_MEMO)
+        memo_key = ("vos", cfg, query_mode)
+        fns = _DRIVER_JIT_MEMO.get(memo_key)
+        if fns is None:
+            fns = _build_vos_fns(
+                cfg, self._backbone, self._modules, self.cc, self.stride,
+                dtype, query_mode,
             )
-            return mask_features, tuple(ms)
-
-        self._encode_window_fn = encode_window_fn
-
-        from univs_tpu.inference.vos import inject_gt_first_appearance, vos_clip_step
-
-        @jax.jit
-        def clip_fn(params, feats, pool, gt_clip, faf, obj_valid, frame_indices, clip_offset, cls_emb):
-            pool = inject_gt_first_appearance(pool, gt_clip, faf, obj_valid, frame_indices, clip_offset)
-            return vos_clip_step(self._modules, params, feats, pool, frame_indices,
-                                 clip_offset, cls_emb, self.cc)
-
-        self._clip_fn = clip_fn
-
-        @jax.jit
-        def grounding_clip_fn(params, feats, pool, frame_indices, clip_offset, cls_emb, text_embs, text_valid):
-            from univs_tpu.structures import TextPrompts
-
-            tp = TextPrompts(embs=text_embs, valid=text_valid)
-            return vos_clip_step(self._modules, params, feats, pool, frame_indices,
-                                 clip_offset, cls_emb, self.cc,
-                                 text_prompts=tp, task="grounding")
-
-        self._grounding_clip_fn = grounding_clip_fn
-        self._shift_fn = jax.jit(lambda pool: mp.shift_clip(pool, self.stride))
-
-        @functools.partial(jax.jit, static_argnames=("out_frames",))
-        def emit_fn(pool, out_frames: int):
-            masks = pool.mask_logits[:, :out_frames]
-            return masks.astype(jnp.float16), mp.evict_window(pool, out_frames)
-
-        self._emit_fn = emit_fn
+            _DRIVER_JIT_MEMO[memo_key] = fns
+        (self._encode_window_fn, self._clip_fn, self._grounding_clip_fn,
+         self._shift_fn, self._emit_fn) = fns
 
     def run(self, frames: np.ndarray, gt_masks_14, faf: np.ndarray,
             obj_valid: np.ndarray, cls_emb: jnp.ndarray,

@@ -18,6 +18,22 @@ mIoU floor of 0.15 x area factor (:373-394); appeared objects are gated
 by embedding consistency (0.5), resolved by sim^2 x quality argmax with
 mask-area ratio > 0.25 (:498-520), then ADD-accumulated
 (gt_mask_logits += masks :522) with (old+new)/(nonblank+1) embds.
+
+``query_mode`` selects the reference's
+``video_unified_inference_queries`` variants (:337-371, :423-496):
+
+- ``"prompt"`` (default) — prompt-query outputs only.
+- ``"learn"`` — appeared objects are re-identified among the 200
+  learnable-query outputs by Hungarian matching on temporally-weighted
+  embedding cosine similarity (threshold 0.65; comm.py:25-62).
+- ``"prompt+learn"`` — both, fused per object with similarity-ratio
+  weights; if the two branches' masks disagree spatially
+  (IoU < 0.5) the prompt branch wins outright (:478-487).
+
+The first-appearance step is prompt-only for task ``"sot"`` exactly as
+the reference (``use_prompt_only`` :336); the box-IoU-top5 /
+mask-IoU-argmax first-appearance re-ID (:341-355) is provided as
+:func:`match_learn_first_appear` for non-sot pipelines.
 """
 
 from __future__ import annotations
@@ -78,8 +94,14 @@ def vos_clip_step(
     cc: EntityClipConfig,
     text_prompts: Optional[TextPrompts] = None,  # RefVOS expressions
     task: str = "sot",
+    query_mode: str = "prompt",  # 'prompt' | 'learn' | 'prompt+learn'
 ) -> Tuple[mp.EntityMemory, Dict]:
     """One clip of prompt-guided re-segmentation. Pure/jittable."""
+    assert query_mode in ("prompt", "learn", "prompt+learn")
+    if task == "grounding":
+        # the reference only supports prompts-as-queries for referring
+        # segmentation (inference_video_vos.py:311-312)
+        query_mode = "prompt"
     pixel_decoder, decoder = modules
     T = frame_indices.shape[0]
     N = pool.capacity
@@ -158,26 +180,75 @@ def vos_clip_step(
     embds_last = jnp.where(first_ok[:, None], embds_p.mean(1), old)
 
     # ---- appeared objects: consistency-gated accumulation ------------
-    is_cons, sim = mp.consistency_gate(pool, embds_p, cc.num_prev_frames_memory, jnp.float32(0.5))
-    gated = has_appeared & is_cons
-    w_app = (sim ** 2) * quality
-    resolved_app = _overlap_resolve(masks_p, w_app, gated)
+    # branch selection per query_mode (reference :423-496): the prompt
+    # branch gates on embedding consistency > 0.5; the learn branch
+    # Hungarian-matches pool targets to learnable-query outputs and
+    # gates on matched similarity >= 0.65; fusion weighs the two by
+    # similarity ratio, falling back to prompt-only when their masks
+    # disagree spatially (IoU < 0.5, :483-486).
+    if query_mode != "prompt":
+        masks_l_all = out["pred_masks"][0, :Ql].astype(jnp.float32)  # [Q, T, H, W]
+        embds_l_all = out["pred_embds"][0, :Ql].astype(jnp.float32)  # [Q, T, C]
+        slot2cand, sim_l = match_learn_appeared(
+            pool, embds_l_all, cc.num_prev_frames_memory
+        )
+        cons_l = sim_l >= 0.65
+        sel = jnp.clip(slot2cand, 0)
+        masks_l = jnp.where(cons_l[:, None, None, None], masks_l_all[sel], 0.0)
+        embds_l = jnp.where(cons_l[:, None, None], embds_l_all[sel], 0.0)
+        sim_l = jnp.where(cons_l, sim_l, 0.0)
+
+    is_cons, sim_p = mp.consistency_gate(
+        pool, embds_p, cc.num_prev_frames_memory, jnp.float32(0.5)
+    )
+    sim_p = jnp.where(is_cons, sim_p, 0.0)
+
+    if query_mode == "prompt":
+        masks_app, embds_app, quality_app, sim = masks_p, embds_p, quality, sim_p
+        gated = has_appeared & is_cons
+    elif query_mode == "learn":
+        masks_app, embds_app, sim = masks_l, embds_l, sim_l
+        quality_app = mask_quality_scores(masks_app)
+        gated = has_appeared & cons_l
+    else:  # prompt+learn fusion (reference :477-491)
+        n_active = (sim_p > 0).astype(jnp.float32) + (sim_l > 0).astype(jnp.float32)
+        sim = (sim_p + sim_l) / jnp.maximum(n_active, 1.0)
+        den = jnp.maximum(sim_p + sim_l, 1e-5)
+        w_p = sim_p / den
+        w_l = sim_l / den
+        masks_pg = jnp.where(is_cons[:, None, None, None], masks_p, 0.0)
+        siou_up = ((masks_pg > 0) & (masks_l > 0)).sum((-3, -2, -1)).astype(jnp.float32)
+        siou_dn = ((masks_pg > 0) | (masks_l > 0)).sum((-3, -2, -1)).astype(jnp.float32)
+        disagree = siou_up / jnp.maximum(siou_dn, 1.0) < 0.5
+        w_p = jnp.where(disagree, 1.0, w_p)
+        w_l = jnp.where(disagree, 0.0, w_l)
+        masks_app = w_p[:, None, None, None] * masks_pg + w_l[:, None, None, None] * masks_l
+        embds_app = w_p[:, None, None] * jnp.where(
+            is_cons[:, None, None], embds_p, 0.0
+        ) + w_l[:, None, None] * embds_l
+        quality_app = mask_quality_scores(masks_app)
+        gated = has_appeared & (is_cons | cons_l)
+
+    w_app = (sim ** 2) * quality_app
+    resolved_app = _overlap_resolve(masks_app, w_app, gated)
     # area-ratio gate 0.25
-    orig_area = jnp.maximum((masks_p > 0).sum((-3, -2, -1)), 1)
+    orig_area = jnp.maximum((masks_app > 0).sum((-3, -2, -1)), 1)
     res_area = (resolved_app > 0).sum((-3, -2, -1))
     ratio_ok = (res_area / orig_area) > 0.25
     gated = gated & ratio_ok
     win = win + jnp.where(gated[:, None, None, None], resolved_app.astype(win.dtype), 0)
     occ = occ + jnp.where(gated[:, None], (resolved_app > 0).any((-2, -1)).astype(occ.dtype), 0)
     nonblank_e = (old != 0).any(-1)
-    upd_e = (old + embds_p.mean(1)) / (nonblank_e[:, None].astype(jnp.float32) + 1.0)
+    upd_e = (old + embds_app.mean(1)) / (nonblank_e[:, None].astype(jnp.float32) + 1.0)
     embds_last = jnp.where(gated[:, None], upd_e, embds_last)
 
     pool = pool.replace(
         mask_logits=jax.lax.dynamic_update_slice_in_dim(pool.mask_logits, win, clip_offset, axis=1),
         occurrence=jax.lax.dynamic_update_slice_in_dim(pool.occurrence, occ, clip_offset, axis=1),
         embds=pool.embds.at[:, -1].set(embds_last),
-        quality_sum=pool.quality_sum + jnp.where(first_ok | gated, quality, 0.0),
+        quality_sum=pool.quality_sum
+        + jnp.where(first_ok, quality, 0.0)
+        + jnp.where(gated, quality_app, 0.0),
     )
 
     # ---- prompt re-encoding from committed frames --------------------
@@ -188,6 +259,85 @@ def vos_clip_step(
     n_update = jnp.where(is_first_clip, 1, T - cc.clip_stride)
     pool = _reencode_prompts(pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc)
     return pool, {"sim": sim, "quality": quality}
+
+
+def match_learn_first_appear(
+    masks_l: jnp.ndarray,  # [Q, T, H, W] learnable-query mask logits
+    gt_at_faf: jnp.ndarray,  # [N, H, W] bool GT masks at first appearance
+    faf_local: jnp.ndarray,  # [N] local frame index of first appearance
+    topk: int = 5,
+) -> jnp.ndarray:
+    """First-appearance re-ID against learnable queries: box-IoU top-k
+    candidates, then mask-IoU argmax (reference:
+    inference_video_vos.py:341-355, "used in SEEM and UNINEXT").
+
+    Returns [N] int32 — best learnable-query index per object.  Box IoU
+    is computed in pixel coords (the reference normalizes per-axis,
+    which is an axis-wise linear rescale and leaves IoU unchanged).
+    """
+    Q = masks_l.shape[0]
+    pred_faf = jnp.moveaxis(masks_l[:, faf_local], 0, 1) > 0  # [N, Q, H, W]
+    gt_b = gt_at_faf > 0
+    gt_boxes = mask_ops.masks_to_boxes(gt_b)  # [N, 4]
+    pred_boxes = mask_ops.masks_to_boxes(pred_faf)  # [N, Q, 4]
+    lt = jnp.maximum(gt_boxes[:, None, :2], pred_boxes[..., :2])
+    rb = jnp.minimum(gt_boxes[:, None, 2:], pred_boxes[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_g = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+    area_p = (pred_boxes[..., 2] - pred_boxes[..., 0]) * (
+        pred_boxes[..., 3] - pred_boxes[..., 1]
+    )
+    biou = inter / jnp.maximum(area_g[:, None] + area_p - inter, 1e-6)  # [N, Q]
+    k = min(topk, Q)
+    _, top_idx = jax.lax.top_k(biou, k)  # [N, k]
+    cand = jnp.take_along_axis(pred_faf, top_idx[:, :, None, None], axis=1)  # [N,k,H,W]
+    inter_m = (cand & gt_b[:, None]).sum((-2, -1)).astype(jnp.float32)
+    union_m = (cand | gt_b[:, None]).sum((-2, -1)).astype(jnp.float32)
+    miou = inter_m / jnp.maximum(union_m, 1.0)
+    best = jnp.argmax(miou, axis=-1)
+    return jnp.take_along_axis(top_idx, best[:, None], axis=1)[:, 0].astype(jnp.int32)
+
+
+def match_learn_appeared(
+    pool: mp.EntityMemory,
+    embds_l: jnp.ndarray,  # [Q, T, C] learnable-query embeddings this clip
+    num_prev: int,
+    use_norm: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hungarian re-ID of pool targets against learnable-query
+    embeddings (reference: comm.py:25-62 match_from_learnable_embds
+    called from inference_video_vos.py:452-460).
+
+    ``use_norm=True``: temporally-weighted cosine similarity (the
+    reference disables it — bisoftmax — only for VIPSeg).  Returns
+    (slot2cand [N] int32 with -1 for empty slots, sim [N]).
+    """
+    from univs_tpu.losses.hungarian import hungarian
+
+    N = pool.capacity
+    Q = embds_l.shape[0]
+    assert N <= Q, "pool capacity must not exceed learnable query count"
+    tgt = pool.embds[:, -num_prev:]  # [N, F, C]
+    F = tgt.shape[1]
+    if use_norm:
+        t_n = tgt / jnp.maximum(jnp.linalg.norm(tgt, axis=-1, keepdims=True), 1e-3)
+        c_n = embds_l / jnp.maximum(jnp.linalg.norm(embds_l, axis=-1, keepdims=True), 1e-3)
+        sim = jnp.einsum("nvc,qtc->nqv", t_n, c_n.astype(t_n.dtype)) / embds_l.shape[1]
+        nonblank = (tgt != 0).any(-1).astype(jnp.float32)  # [N, F]
+        w = jnp.exp(jnp.arange(1, F + 1, dtype=jnp.float32) / F * 5.0)[None] * nonblank
+        w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-3)
+        sim = (sim * w[:, None]).sum(-1)  # [N, Q]
+    else:
+        sim = jnp.einsum("nvc,qtc->nq", tgt, embds_l) / (
+            F * embds_l.shape[1] * jnp.sqrt(jnp.float32(tgt.shape[-1]))
+        )
+        sim = 0.5 * (jax.nn.softmax(sim, axis=0) + jax.nn.softmax(sim, axis=1))
+    sim = jnp.where(pool.valid[:, None], sim, -1.0)
+    slot2cand = hungarian(1.0 - sim, row_valid=pool.valid)  # [N]
+    sim_m = sim[jnp.arange(N), jnp.clip(slot2cand, 0)]
+    sim_m = jnp.where(slot2cand >= 0, sim_m, 0.0)
+    return slot2cand, sim_m
 
 
 def _pair_mask_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
