@@ -1,0 +1,146 @@
+"""Regression tests for the streaming drivers' window-emission
+bookkeeping: emission must evict ONLY the emitted frames, keeping the
+T overlap frames in the pool for continued accumulation (reference:
+inference_video_entity.py keeps mask_logits[:, num_frames_window_output:]
+after each emission).
+
+A prior bug evicted out_window+T frames per emission while advancing
+emitted_total by out_window only, destroying the overlap frames'
+accumulated logits (one blank + T-1 partially-accumulated frames at
+every window boundary) and misaligning all subsequent clip writes by T.
+
+The model is stubbed out: clip steps write a known per-frame value
+(frame_index + 1) into the pool, so the concatenated emissions must
+read back exactly [1, 2, ..., V] at every pixel.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from univs_tpu.config import tiny_test_config
+
+
+def _small_streaming_cfg():
+    import dataclasses
+
+    cfg = tiny_test_config()
+    # T=2, stride=1, backbone window 6 -> out_window=4, pool window 6;
+    # a 13-frame video triggers two mid-video emissions + the tail.
+    inf = dataclasses.replace(
+        cfg.inference, num_frames=2, clip_stride=1, num_frames_window=6
+    )
+    return dataclasses.replace(cfg, inference=inf)
+
+
+def _stub_encode(window_len, mask_hw, C):
+    def encode(params, frames):
+        n = frames.shape[0]
+        mf = jnp.zeros((n, *mask_hw, C), jnp.float32)
+        ms = (jnp.zeros((n, mask_hw[0] // 2, mask_hw[1] // 2, C), jnp.float32),)
+        return mf, ms
+
+    return encode
+
+
+def _spy_emit(driver, records):
+    orig = driver._emit_fn
+
+    def emit(pool, out_frames):
+        out = orig(pool, out_frames)
+        records.append(np.asarray(out[0], np.float32))
+        return out
+
+    driver._emit_fn = emit
+
+
+def test_entity_driver_emission_keeps_overlap():
+    from univs_tpu.inference.driver import EntityDriver
+
+    cfg = _small_streaming_cfg()
+    V, H, W = 13, 64, 96
+    E = 3
+    driver = EntityDriver(cfg, params={}, num_classes=4, capacity=E)
+    T = driver.T
+
+    driver._encode_window_fn = _stub_encode(driver.window, (H // 4, W // 4), 32)
+
+    def stub_clip(params, feats, pool, clip_idx, clip_offset, first, cls_emb):
+        # write value (frame+1) at each clip position; accumulate
+        # occurrence exactly like the real clip step does
+        off = int(clip_offset)
+        for k in range(T):
+            f = int(clip_idx[k])
+            pool = pool.replace(
+                mask_logits=pool.mask_logits.at[0, off + k].add(float(f + 1)),
+                occurrence=pool.occurrence.at[0, off + k].add(1.0),
+            )
+        pool = pool.replace(
+            valid=pool.valid.at[0].set(True),
+            logits_sum=pool.logits_sum.at[0].set(1.0),
+            logits_count=pool.logits_count.at[0].set(1),
+        )
+        return pool, None
+
+    driver._clip_fn = stub_clip
+    driver._shift_fn = lambda pool: pool  # prompt rings unused here
+
+    records = []
+    _spy_emit(driver, records)
+
+    results = driver.run_vis(np.zeros((V, H, W, 3), np.float32), jnp.zeros((4, 16)))
+    assert len(records) >= 3, "video must span multiple emissions"
+
+    emitted = np.concatenate(records, axis=1)  # [E, V, h, w]
+    assert emitted.shape[1] == V
+    got = emitted[0, :, 0, 0]
+    expect = np.arange(1, V + 1, dtype=np.float32)
+    np.testing.assert_allclose(got, expect, rtol=1e-3), (
+        "every frame's averaged logits must survive window eviction"
+    )
+    # whole-plane check: uniform value per frame
+    assert np.allclose(emitted[0], expect[None, :, None, None].repeat(1, 0), rtol=1e-3)
+    assert results and results[0]["obj_id"] == 0
+    assert len(results[0]["segmentations"]) == V
+
+
+def test_vos_driver_emission_keeps_overlap():
+    from univs_tpu.inference.driver import VOSDriver
+
+    cfg = _small_streaming_cfg()
+    V, H, W = 13, 64, 96
+    N = 2
+    driver = VOSDriver(cfg, params={}, capacity=N, num_classes=1)
+    T = driver.T
+
+    driver._encode_window_fn = _stub_encode(driver.window, (H // 4, W // 4), 32)
+
+    def stub_clip(params, feats, pool, gt_clip, faf, obj_valid, clip_idx, clip_offset, cls_emb):
+        off = int(clip_offset)
+        for k in range(T):
+            f = int(clip_idx[k])
+            pool = pool.replace(
+                mask_logits=pool.mask_logits.at[0, off + k].set(float(f + 1)),
+            )
+        return pool, None
+
+    driver._clip_fn = stub_clip
+    driver._shift_fn = lambda pool: pool
+
+    records = []
+    _spy_emit(driver, records)
+
+    labels = driver.run(
+        frames=np.zeros((V, H, W, 3), np.float32),
+        gt_masks_14=np.zeros((N, V, H // 4, W // 4), np.float32),
+        faf=np.zeros(N, np.int64),
+        obj_valid=np.ones(N, bool),
+        cls_emb=jnp.zeros((1, 16)),
+    )
+    emitted = np.concatenate(records, axis=1)
+    assert emitted.shape[1] == V
+    got = emitted[0, :, 0, 0]
+    np.testing.assert_allclose(got, np.arange(1, V + 1, dtype=np.float32), rtol=1e-3)
+    # positive logits everywhere for object 0 -> label 1 everywhere
+    assert labels.shape == (V, H, W)
+    assert (labels == 1).all()

@@ -67,7 +67,11 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
         masks = pool.mask_logits[:, :out_frames]
         occ = jnp.maximum(pool.occurrence[:, :out_frames], 1.0)
         masks = masks / occ[:, :, None, None]
-        return masks.astype(jnp.float16), mp.evict_window(pool, out_frames)
+        # per-window class-score snapshot: the logits-history mean at
+        # emission time (reference: save_results_vis
+        # inference_video_entity.py:926 targets["logits"].mean(1))
+        scores = pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None]
+        return masks.astype(jnp.float16), scores, mp.evict_window(pool, out_frames)
 
     return encode_window_fn, clip_fn, shift_fn, emit_fn
 
@@ -191,6 +195,7 @@ class EntityDriver:
         window_range = (0, 0)
         emitted: List[np.ndarray] = []
         emit_starts: List[int] = []
+        emit_scores: List[np.ndarray] = []  # [E, K] snapshot per window
         emitted_total = 0
 
         is_last = False
@@ -223,9 +228,13 @@ class EntityDriver:
                 is_last and emitted_total < V
             ):
                 n_out = self.out_window if not is_last else min(V - emitted_total, self.out_window + self.T)
-                masks, pool = self._emit_fn(pool, self.out_window + self.T)
-                masks = np.asarray(masks[:, :n_out])
-                emitted.append(masks)
+                # emit + evict exactly n_out frames: the trailing T
+                # overlap frames stay in the pool and keep accumulating
+                # (reference drops only num_frames_window_output frames:
+                # inference_video_entity.py mask_logits[:, n_out:])
+                masks, win_scores, pool = self._emit_fn(pool, n_out)
+                emitted.append(np.asarray(masks))
+                emit_scores.append(np.asarray(win_scores))
                 emit_starts.append(emitted_total)
                 emitted_total += n_out
                 if is_last and emitted_total >= V:
@@ -237,7 +246,10 @@ class EntityDriver:
 
         # assemble per-entity results
         valid = np.asarray(pool.valid)
-        scores = np.asarray(pool.logits_sum / np.maximum(np.asarray(pool.logits_count), 1)[:, None])
+        quality_sum = np.asarray(pool.quality_sum)
+        # reference: res['mask_quality_score'] = q_i / (int(q.max()) + 1)
+        # at the last window (inference_video_entity.py:958)
+        quality = quality_sum / (int(quality_sum.max()) + 1)
         results = []
         for e in range(self.capacity):
             if not valid[e]:
@@ -251,7 +263,14 @@ class EntityDriver:
                         segs[start + k] = rle.encode(up[k])
             blank = rle.encode(np.zeros(out_size, np.uint8))
             segs = [s if s is not None else blank for s in segs]
-            results.append({"obj_id": e, "score": scores[e], "segmentations": segs})
+            score_windows = np.stack([s[e] for s in emit_scores])  # [W, K]
+            results.append({
+                "obj_id": e,
+                "score_windows": score_windows,
+                "score": combine_window_scores(score_windows.copy()),
+                "mask_quality_score": float(quality[e]),
+                "segmentations": segs,
+            })
         return results
 
 
@@ -262,12 +281,25 @@ class EntityDriver:
         """VSS: per-clip semantic argmax from learnable queries only
         (reference: save_results_vss — inference_video_entity.py:1096-1132;
         clip stride = num_frames for vss :299).
+
+        Transcribes the reference pipeline: sigmoid class logits scaled
+        by per-query mask quality, per-pixel class evidence
+        ``einsum('qc,qthw->cthw')`` over sigmoid masks, bilinear
+        upsample to the padded input size, crop, argmax, then nearest
+        resize to the output size (argmax commutes with nearest+crop,
+        so it runs before the host-side resize).  One deviation, noted
+        for parity: evidence is accumulated in sigmoid space at 1/4 res
+        and bilinearly upsampled (linear, exact for the einsum), where
+        the reference upsamples raw mask logits before the sigmoid —
+        sigma(resize(x)) vs resize(sigma(x)) differ only at mask
+        boundaries and avoid materializing [Q, T, H, W] logits.
         Returns per-frame class maps [V, out_h, out_w] int32."""
         V, H, W = frames.shape[:3]
         image_size = image_size or (H, W)
         out_size = out_size or image_size
         frames_j = jnp.asarray(frames, jnp.float32)
         pd, dec = self._modules
+        ih, iw = image_size
 
         @jax.jit
         def vss_clip(params, encoded, frame_indices):
@@ -282,7 +314,15 @@ class EntityDriver:
 
             q = mask_quality_scores(masks)
             sem = jnp.einsum("qc,qthw->cthw", logits * q[:, None], jax.nn.sigmoid(masks))
-            return jnp.argmax(sem, axis=0)  # [T, H4, W4]
+            # bilinear to padded size per frame, crop, argmax (exact
+            # commute with the reference's downstream nearest resize)
+            K, T = sem.shape[:2]
+
+            def per_frame(s):  # [K, h4, w4] -> [ih, iw] labels
+                up = jax.image.resize(s, (K, H, W), method="bilinear", antialias=False)
+                return jnp.argmax(up[:, :ih, :iw], axis=0).astype(jnp.int32)
+
+            return jax.lax.map(per_frame, sem.transpose(1, 0, 2, 3))  # [T, ih, iw]
 
         labels = np.zeros((V, *out_size), np.int32)
         i = 0
@@ -290,7 +330,7 @@ class EntityDriver:
             clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
             encoded = self._encode_window_fn(self.params, frames_j[clip_idx])
             sem = np.asarray(vss_clip(self.params, encoded, jnp.asarray(clip_idx)))
-            up = _upsample_labels(sem, image_size, out_size, (H, W))
+            up = _resize_labels_nearest(sem, out_size)
             for k in range(self.T):
                 if i + k < V:
                     labels[i + k] = up[k]
@@ -351,14 +391,13 @@ class EntityDriver:
         return panoptic, segments_info
 
 
-def _upsample_labels(labels: np.ndarray, image_size, out_size, padded_size) -> np.ndarray:
-    """[T, h, w] int labels -> [T, out] nearest upsampling with crop."""
+def _resize_labels_nearest(labels: np.ndarray, out_size) -> np.ndarray:
+    """[T, h, w] int labels -> [T, out] nearest resize (reference:
+    save_results_vss's final F.interpolate(..., mode='nearest'))."""
     import torch
     import torch.nn.functional as F
 
     m = torch.from_numpy(labels.astype(np.float32))[None]
-    m = F.interpolate(m, size=padded_size, mode="nearest")
-    m = m[:, :, : image_size[0], : image_size[1]]
     m = F.interpolate(m, size=out_size, mode="nearest")
     return m[0].numpy().astype(np.int32)
 
@@ -451,8 +490,9 @@ class VOSDriver:
                 is_last and emitted_total < V
             ):
                 n_out = out_window if not is_last else min(V - emitted_total, out_window + self.T)
-                masks, pool = self._emit_fn(pool, out_window + self.T)
-                emitted.append(np.asarray(masks[:, :n_out]))
+                # emit + evict exactly n_out: keep the T overlap frames
+                masks, pool = self._emit_fn(pool, n_out)
+                emitted.append(np.asarray(masks))
                 emit_starts.append(emitted_total)
                 emitted_total += n_out
                 if is_last and emitted_total >= V:
@@ -523,8 +563,9 @@ class VOSDriver:
                 is_last and emitted_total < V
             ):
                 n_out = out_window if not is_last else min(V - emitted_total, out_window + self.T)
-                masks, pool = self._emit_fn(pool, out_window + self.T)
-                emitted.append(np.asarray(masks[:, :n_out]))
+                # emit + evict exactly n_out: keep the T overlap frames
+                masks, pool = self._emit_fn(pool, n_out)
+                emitted.append(np.asarray(masks))
                 emit_starts.append(emitted_total)
                 emitted_total += n_out
                 if is_last and emitted_total >= V:
@@ -567,20 +608,59 @@ def _upsample_and_threshold(mask_logits: np.ndarray, image_size, out_size, padde
     return (m[0] > 0).numpy().astype(np.uint8)
 
 
+def temporal_consistency_weighting(scores: np.ndarray) -> np.ndarray:
+    """In-place per-window score weighting — exact transcription of
+    ``calculate_mask_temporal_consistency_scores``
+    (reference: inference/comm.py:197-207).
+
+    scores: [W, K]; window t is weighted by the fraction of nonblank
+    windows in [max(0, t-1), min(W, t+1)) times its own nonblank bit.
+    """
+    nonblank = scores.sum(-1) > 0
+    W = len(nonblank)
+    for t in range(W):
+        s_t = max(0, t - 1)
+        e_t = min(W, t + 1)
+        w = float(nonblank[t]) * float(nonblank[s_t:e_t].sum()) / max(e_t - s_t, 1)
+        scores[t] = scores[t] * w
+    return scores
+
+
+def combine_window_scores(score_windows: np.ndarray) -> np.ndarray:
+    """Per-window [W, K] scores -> final per-class [K] scores
+    (reference: inference/comm.py:166-167): temporal-consistency
+    weighting, then mean over windows still nonblank after weighting.
+    Mutates score_windows (pass a copy if it must survive)."""
+    scores = temporal_consistency_weighting(score_windows)
+    denom = max(int((scores.sum(-1) > 0).sum()), 1)
+    return scores.sum(0) / denom
+
+
 def vis_results_to_ytvis_json(
     video_id, video_len: int, height: int, width: int,
     results: List[Dict], apply_cls_thresh: float = 0.05, topk_per_video: int = 25,
 ) -> List[Dict]:
-    """Per-entity windows -> YTVIS-format per-(entity, class) records
-    (reference: inference/comm.py:97-195, incl. temporal-consistency
-    score weighting comm.py:197-207 simplified to the per-video mean)."""
+    """Per-entity windows -> YTVIS-format per-(entity, class) records —
+    exact transcription of ``vis_clip_instances_to_coco_json_video``
+    (reference: inference/comm.py:97-195): per-window score stacking,
+    temporal-consistency weighting (comm.py:197-207), accumulated mask
+    quality (or nonblank-length fallback), 0.1*thresh class filter, and
+    the 1.5x-above-thresh topk cut."""
     out = []
     scores_all = []
     num_above = 0
     for res in results:
-        scores = np.asarray(res["score"], np.float32)  # [K]
-        nonblank = np.array([rle.area(s) > 0 for s in res["segmentations"]])
-        quality = max(float(nonblank.sum()) / max(video_len, 1), 0.1)
+        if "score_windows" in res:
+            scores = combine_window_scores(
+                np.asarray(res["score_windows"], np.float32).copy()
+            )
+        else:
+            scores = np.asarray(res["score"], np.float32)  # [K]
+        if "mask_quality_score" in res:
+            quality = float(res["mask_quality_score"])
+        else:
+            nonblank = np.array([rle.area(s) > 0 for s in res["segmentations"]])
+            quality = max(float(nonblank.sum()) / max(video_len, 1), 0.1)
         for c in range(scores.shape[0]):
             if scores[c] < 0.1 * apply_cls_thresh:
                 continue
