@@ -95,6 +95,33 @@ def test_ytvis_ap_perfect_and_miss():
     assert res3["AP"] == 0.0
 
 
+def test_ytvis_crowd_matched_detection_is_ignored():
+    """A detection whose only match is a crowd GT must be excluded from
+    both TP and FP (COCO protocol), not counted as a false positive."""
+    h, w = 16, 16
+    seg_a = [rle.encode(_blob(h, w, 2, 10, 2, 10)) for _ in range(3)]
+    seg_crowd = [rle.encode(_blob(h, w, 10, 16, 10, 16)) for _ in range(3)]
+    gts = [
+        {"video_id": 1, "category_id": 1, "id": 1, "segmentations": seg_a},
+        {"video_id": 1, "category_id": 1, "id": 2, "segmentations": seg_crowd,
+         "iscrowd": 1},
+    ]
+    preds = [
+        {"video_id": 1, "category_id": 1, "score": 0.9, "segmentations": seg_a},
+        # fully inside the crowd region -> crowd-matched -> ignored
+        {"video_id": 1, "category_id": 1, "score": 0.8,
+         "segmentations": [rle.encode(_blob(h, w, 11, 15, 11, 15))] * 3},
+    ]
+    res = YTVISEval(gts, preds).evaluate()
+    np.testing.assert_allclose(res["AP"], 1.0, atol=1e-6)
+    # sanity: an unmatched non-crowd detection DOES hurt AP
+    preds_fp = [preds[0],
+                {"video_id": 1, "category_id": 1, "score": 0.95,
+                 "segmentations": [rle.encode(np.zeros((h, w), np.uint8))] * 3}]
+    res_fp = YTVISEval(gts, preds_fp).evaluate()
+    assert res_fp["AP"] < 1.0
+
+
 def test_pvos_groups():
     gt = np.stack([np.stack([_blob(16, 16, 2, 8, 2, 8)] * 3),
                    np.stack([_blob(16, 16, 9, 14, 9, 14)] * 3)])

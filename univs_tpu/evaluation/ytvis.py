@@ -66,6 +66,7 @@ class YTVISEval:
         for c in sorted(cats):
             scores_all = []
             matched_all = []  # [T_thr, n_det] bool
+            ignored_all = []  # [T_thr, n_det] bool — crowd-matched dets
             n_gt = 0
             for v in videos:
                 gt = gts_by.get((v, c), [])
@@ -80,21 +81,33 @@ class YTVISEval:
                             p["segmentations"], g["segmentations"], bool(g.get("iscrowd"))
                         )
                 m = np.zeros((len(IOU_THRS), len(pr)), bool)
+                ig = np.zeros((len(IOU_THRS), len(pr)), bool)
+                # non-crowd GTs first (COCO order); a det whose best
+                # match is crowd is IGNORED (neither TP nor FP)
+                gt_order = sorted(range(len(gt)), key=lambda j: bool(gt[j].get("iscrowd")))
                 for ti, thr in enumerate(IOU_THRS):
                     taken = np.zeros(len(gt), bool)
                     for i in range(len(pr)):
                         best, bj = thr, -1
-                        for j, g in enumerate(gt):
-                            crowd = bool(g.get("iscrowd"))
+                        for j in gt_order:
+                            crowd = bool(gt[j].get("iscrowd"))
                             if taken[j] and not crowd:
                                 continue
+                            # already matched a non-crowd GT; remaining
+                            # GTs are crowd — keep the real match
+                            if bj >= 0 and not gt[bj].get("iscrowd") and crowd:
+                                break
                             if ious[i, j] >= best:
                                 best, bj = ious[i, j], j
-                        if bj >= 0 and not gts_by[(v, c)][bj].get("iscrowd"):
-                            m[ti, i] = True
-                            taken[bj] = True
+                        if bj >= 0:
+                            if gt[bj].get("iscrowd"):
+                                ig[ti, i] = True
+                            else:
+                                m[ti, i] = True
+                                taken[bj] = True
                 scores_all.extend(p["score"] for p in pr)
                 matched_all.append(m)
+                ignored_all.append(ig)
             if n_gt == 0:
                 continue
             if not scores_all:
@@ -105,10 +118,12 @@ class YTVISEval:
                 continue
             scores = np.asarray(scores_all)
             matched = np.concatenate(matched_all, axis=1)
+            ignored = np.concatenate(ignored_all, axis=1)
             order = np.argsort(-scores, kind="mergesort")
             matched = matched[:, order]
-            tps = np.cumsum(matched, axis=1)
-            fps = np.cumsum(~matched, axis=1)
+            ignored = ignored[:, order]
+            tps = np.cumsum(matched & ~ignored, axis=1)
+            fps = np.cumsum(~matched & ~ignored, axis=1)
             rc = tps / n_gt
             pr_ = tps / np.maximum(tps + fps, 1e-9)
             aps = []
