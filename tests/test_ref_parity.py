@@ -1,0 +1,220 @@
+"""Activation parity vs the REFERENCE torch modules (random init).
+
+No pretrained weights exist in this image, so these tests are the
+substitute demanded by SURVEY §7: instantiate the reference's actual
+``MSDeformAttnPixelDecoder`` (mask2former/modeling/pixel_decoder/
+msdeformattn.py:360) and ``VideoMultiScaleMaskedTransformerDecoderUniVS``
+(univs/modeling/transformer_decoder/
+video_mask2former_transformer_decoder_univs.py:305) on CPU with random
+init, push their state_dicts through ``univs_tpu.utils.convert_univs``,
+and assert our JAX modules reproduce the reference activations to
+<=1e-4.  This exercises the real converter name mapping end-to-end and
+every numerics choice in the rebuilt pixel decoder / decoder.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+import ref_shim
+from univs_tpu.utils.convert_univs import convert_decoder, convert_pixel_decoder
+
+TOL = 1e-4
+
+
+def _sd_numpy(module, prefix):
+    return {prefix + k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# pixel decoder
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_pixel_decoder():
+    mod = ref_shim.load_reference_pixel_decoder_module()
+    ShapeSpec = sys.modules["detectron2.layers"].ShapeSpec
+    torch.manual_seed(0)
+    input_shape = {
+        "res2": ShapeSpec(channels=96, stride=4),
+        "res3": ShapeSpec(channels=192, stride=8),
+        "res4": ShapeSpec(channels=384, stride=16),
+        "res5": ShapeSpec(channels=768, stride=32),
+    }
+    ref = mod.MSDeformAttnPixelDecoder(
+        input_shape=input_shape,
+        transformer_dropout=0.0,
+        transformer_nheads=8,
+        transformer_dim_feedforward=256,
+        transformer_enc_layers=3,
+        conv_dim=64,
+        mask_dim=64,
+        norm="GN",
+        transformer_in_features=["res3", "res4", "res5"],
+        common_stride=4,
+    )
+    ref.eval()
+    return ref
+
+
+def test_pixel_decoder_activation_parity(ref_pixel_decoder):
+    from univs_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+
+    torch.manual_seed(1)
+    bt, H, W = 2, 64, 96
+    feats_t = {
+        "res2": torch.randn(bt, 96, H // 4, W // 4),
+        "res3": torch.randn(bt, 192, H // 8, W // 8),
+        "res4": torch.randn(bt, 384, H // 16, W // 16),
+        "res5": torch.randn(bt, 768, H // 32, W // 32),
+    }
+    with torch.no_grad():
+        mf_ref, mf_bfe_ref, enc_ref, ms_ref = ref_pixel_decoder.forward_features(feats_t)
+
+    sd = _sd_numpy(ref_pixel_decoder, "sem_seg_head.pixel_decoder.")
+    params = convert_pixel_decoder(sd, num_layers=3)
+
+    ours = MSDeformAttnPixelDecoder(hidden_dim=64, mask_dim=64, num_layers=3, ffn_dim=256)
+    feats_j = {k: jnp.asarray(v.numpy().transpose(0, 2, 3, 1)) for k, v in feats_t.items()}
+    mf, mf_bfe, enc, ms = ours.apply({"params": params}, feats_j)
+
+    def diff(j, t):
+        return float(np.abs(np.asarray(j) - t.numpy().transpose(0, 2, 3, 1)).max())
+
+    assert diff(mf, mf_ref) < TOL, f"mask_features {diff(mf, mf_ref)}"
+    assert diff(mf_bfe, mf_bfe_ref) < TOL
+    assert diff(enc, enc_ref) < TOL
+    for a, b in zip(ms, ms_ref):
+        assert diff(a, b) < TOL
+
+
+# ---------------------------------------------------------------------------
+# UniVS transformer decoder (detection / category-prompt path)
+# ---------------------------------------------------------------------------
+
+C = 64  # hidden
+DT = 48  # text emb dim
+QL = 16  # learnable queries
+K = 7  # categories in the fake frozen bank
+T = 2
+LAYERS = 3
+
+
+@pytest.fixture(scope="module")
+def ref_decoder(tmp_path_factory):
+    mod = ref_shim.load_reference_decoder_module()
+    torch.manual_seed(2)
+    bank = torch.randn(K, DT)
+    pth = tmp_path_factory.mktemp("bank") / "cls_emb.pth"
+    torch.save(bank, pth)
+    mod.combined_datasets_category_info["parity_test"] = (K, 0)
+    ref = mod.VideoMultiScaleMaskedTransformerDecoderUniVS(
+        in_channels=C,
+        mask_classification=True,
+        num_classes=K,
+        hidden_dim=C,
+        num_queries=QL,
+        nheads=8,
+        dim_feedforward=128,
+        dec_layers=LAYERS,
+        pre_norm=False,
+        mask_dim=C,
+        enforce_input_project=False,
+        num_frames=T,
+        clip_class_embed_path=str(pth),
+        visual_prompt_sampler=None,
+        num_dense_points=8,
+        text_prompt_enable=True,
+        prompt_as_queries=True,
+        text_prompt_to_image_enable=True,
+        maskdec_self_attn_mask_type="sep",
+        position_embedding_sin3d_type="ArbitraryT",
+    )
+    ref.eval()
+    return ref, bank
+
+
+def _decoder_inputs(seed=3):
+    torch.manual_seed(seed)
+    bt = T
+    sizes = [(4, 6), (8, 12), (16, 24)]  # 1/32, 1/16, 1/8
+    x = [torch.randn(bt, C, h, w) for h, w in sizes]
+    hm, wm = 32, 48
+    mask_features = torch.randn(bt, C, hm, wm)
+    frame_indices = torch.arange(T)
+    return x, mask_features, frame_indices
+
+
+def test_decoder_activation_parity_detection(ref_decoder):
+    from univs_tpu.models.decoder import UniVSDecoder
+    from univs_tpu.structures import TextPrompts
+
+    ref, bank = ref_decoder
+    x, mask_features, frame_indices = _decoder_inputs()
+    targets = [
+        {
+            "task": "detection",
+            "dataset_name": "parity_test",
+            "prompt_type": "text",
+            "frame_indices": frame_indices,
+        }
+    ]
+    with torch.no_grad():
+        out_ref = ref(
+            [xi.clone() for xi in x],
+            mask_features.clone(),
+            mask_features_bfe_conv=mask_features.clone(),
+            mask=None,
+            targets=targets,
+        )
+
+    sd = _sd_numpy(ref, "sem_seg_head.predictor.")
+    params = convert_decoder(sd, num_layers=LAYERS)
+
+    ours = UniVSDecoder(
+        hidden_dim=C,
+        num_queries=QL,
+        num_layers=LAYERS,
+        num_heads=8,
+        ffn_dim=128,
+        pre_norm=False,
+        mask_dim=C,
+        text_emb_dim=DT,
+        self_attn_mask_type="sep",
+    )
+    x_j = [jnp.asarray(xi.numpy().transpose(0, 2, 3, 1)) for xi in x]
+    mf_j = jnp.asarray(mask_features.numpy().transpose(0, 2, 3, 1))
+    fi_j = jnp.asarray(frame_indices.numpy())[None]
+    bank_j = jnp.asarray(bank.numpy())
+    tp = TextPrompts(embs=bank_j[None, :, None, :], valid=jnp.ones((1, K), bool))
+
+    out = ours.apply(
+        {"params": params},
+        x_j,
+        mf_j,
+        fi_j,
+        task="detection",
+        text_prompts=tp,
+        cls_emb=bank_j,
+    )
+
+    logits_ref = out_ref["pred_logits"].numpy()  # [B, Q, K]
+    masks_ref = out_ref["pred_masks"].numpy()  # [B, Q, T, H, W]
+    embds_ref = out_ref["pred_embds"].numpy()  # [B, Q, T, C]
+
+    d_log = float(np.abs(np.asarray(out["pred_logits"]) - logits_ref).max())
+    d_msk = float(np.abs(np.asarray(out["pred_masks"]) - masks_ref).max())
+    d_emb = float(np.abs(np.asarray(out["pred_embds"]) - embds_ref).max())
+    assert d_log < TOL, f"pred_logits diff {d_log}"
+    assert d_msk < 10 * TOL, f"pred_masks diff {d_msk}"
+    assert d_emb < TOL, f"pred_embds diff {d_emb}"

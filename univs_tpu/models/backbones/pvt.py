@@ -43,7 +43,7 @@ class SRAttention(nn.Module):
             xm = x.reshape(B, h, w, C)
             xm = nn.Conv(C, (self.sr_ratio,) * 2, strides=(self.sr_ratio,) * 2,
                          dtype=self.dtype, name="sr")(xm)
-            kv_in = nn.LayerNorm(dtype=jnp.float32, name="sr_norm")(
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="sr_norm")(
                 xm.reshape(B, -1, C)
             ).astype(x.dtype)
         kv = nn.Dense(2 * C, dtype=self.dtype, name="kv")(kv_in)
@@ -80,9 +80,9 @@ class PVTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, h, w):
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
         x = x + SRAttention(self.dim, self.num_heads, self.sr_ratio, self.dtype, name="attn")(y, h, w)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
         x = x + MixFFN(self.dim, self.dim * self.mlp_ratio, self.dtype, name="mlp")(y, h, w)
         return x
 
@@ -104,13 +104,13 @@ class PVTv2(nn.Module):
                         padding=[(pad, pad)] * 2, dtype=self.dtype,
                         name=f"patch_embed{s}")(x.astype(self.dtype))
             B, h, w, C = x.shape
-            t = nn.LayerNorm(dtype=jnp.float32, name=f"patch_norm{s}")(
+            t = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"patch_norm{s}")(
                 x.reshape(B, h * w, C)
             ).astype(self.dtype)
             for b in range(self.depths[s]):
                 t = PVTBlock(self.dims[s], self.num_heads[s], SR_RATIOS[s],
                              MLP_RATIOS[s], self.dtype, name=f"stage{s}_block{b}")(t, h, w)
-            t = nn.LayerNorm(dtype=jnp.float32, name=f"out_norm{s}")(t).astype(self.dtype)
+            t = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"out_norm{s}")(t).astype(self.dtype)
             x = t.reshape(B, h, w, C)
             name = f"res{s + 2}"
             if name in self.out_features:

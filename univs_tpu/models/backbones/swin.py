@@ -91,7 +91,7 @@ class SwinBlock(nn.Module):
         B, H, W, C = x.shape
         w = self.window
         shortcut = x
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
         if self.shift > 0:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
         # window partition
@@ -105,7 +105,7 @@ class SwinBlock(nn.Module):
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         x = shortcut + y
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(nn.gelu(y))
         return x + y
@@ -141,7 +141,7 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=self.dtype, name="patch_embed")(
             x.astype(self.dtype)
         )
-        x = nn.LayerNorm(dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(x).astype(self.dtype)
 
         outs = {}
         dim = self.embed_dim
@@ -161,7 +161,7 @@ class SwinTransformer(nn.Module):
             x = xp[:, :H, :W]
             name = f"res{stage + 2}"
             if name in self.out_features:
-                outs[name] = nn.LayerNorm(dtype=jnp.float32, name=f"out_norm{stage}")(x).astype(self.dtype)
+                outs[name] = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"out_norm{stage}")(x).astype(self.dtype)
             if stage < len(self.depths) - 1:
                 # patch merging: 2x2 concat + LN + linear to 2*dim
                 ph2, pw2 = H % 2, W % 2
@@ -172,7 +172,7 @@ class SwinTransformer(nn.Module):
                     [xm[:, 0::2, 0::2], xm[:, 1::2, 0::2], xm[:, 0::2, 1::2], xm[:, 1::2, 1::2]],
                     axis=-1,
                 )
-                xm = nn.LayerNorm(dtype=jnp.float32, name=f"merge_norm{stage}")(xm).astype(self.dtype)
+                xm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"merge_norm{stage}")(xm).astype(self.dtype)
                 x = nn.Dense(2 * dim, use_bias=False, dtype=self.dtype, name=f"merge_reduction{stage}")(xm)
                 dim *= 2
         return outs

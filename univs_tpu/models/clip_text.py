@@ -48,14 +48,14 @@ class ClipResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, causal_bias):
         # LN in fp32 (reference TextEncoder.py:8-14)
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_1")(x)
         from univs_tpu.models.transformer_layers import MultiHeadAttention
 
         y = MultiHeadAttention(self.width, self.heads, self.dtype, name="attn")(
             y, y, y, bias=causal_bias
         )
         x = x + y
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_2")(x)
         y = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(y)
         y = QuickGELU()(y)
         y = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(y)
@@ -87,7 +87,7 @@ class ClipTextEncoder(nn.Module):
         )[None, None]
         for i in range(self.num_layers):
             x = ClipResidualBlock(self.width, self.heads, self.dtype, name=f"block_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln_final")(x)
         proj = self.param(
             "text_projection",
             nn.initializers.normal(self.width ** -0.5),
@@ -116,7 +116,7 @@ class TextPromptEncoder:
     def encode_expressions(self, expressions) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """-> (word_feats [N, 77, D] from template '{}.',
                sentence_feats [N, D] mean-EOT over 81 templates)."""
-        tokens = pre_tokenize(expressions, self.tokenizer)  # [N, 81, 77]
+        tokens = pre_tokenize(expressions, self.tokenizer, text_type="expression")  # [N, 81, 77]
         n, m, L = tokens.shape
         word, eot = self._encode(self.params, jnp.asarray(tokens.reshape(n * m, L)))
         word = word.reshape(n, m, L, -1)
@@ -126,5 +126,7 @@ class TextPromptEncoder:
     def encode_category_names(self, names) -> jnp.ndarray:
         """-> [K, D] mean-EOT category bank (matches the offline
         concept_emb extraction protocol)."""
-        _, eot = self.encode_expressions(list(names))
-        return eot
+        tokens = pre_tokenize(list(names), self.tokenizer, text_type="class_name")
+        n, m, L = tokens.shape
+        _, eot = self._encode(self.params, jnp.asarray(tokens.reshape(n * m, L)))
+        return eot.reshape(n, m, -1).mean(axis=1)

@@ -139,10 +139,10 @@ class UniVSDecoder(nn.Module):
             CrossAttentionBlock(C, self.num_heads, False, self.dtype, name=f"proca_{i}")
             for i in range(self.num_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")
         self.mask_embed = MLP(C, self.mask_dim, 3, self.dtype, name="mask_embed")
         self.vis2text = nn.Dense(self.text_emb_dim, dtype=self.dtype, name="vis2text_projection")
-        self.text_norm = nn.LayerNorm(dtype=self.dtype, name="text_norm")
+        self.text_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="text_norm")
         self.text2vis = nn.Dense(C, dtype=self.dtype, name="text2vis_projection")
         self.lang2vision = CrossAttentionBlock(C, self.num_heads, False, self.dtype, name="lang2vision")
         self.pe3d = SinePositionEncoding3D(
@@ -419,7 +419,7 @@ class UniVSDecoder(nn.Module):
         mf_small = [
             jax.image.resize(
                 mask_features.astype(jnp.float32), (b, t, h, w, mask_features.shape[-1]),
-                method="bilinear",
+                method="bilinear", antialias=False,
             ).astype(mask_features.dtype)
             for (h, w) in sizes
         ]

@@ -129,10 +129,10 @@ class DeformableEncoderLayer(nn.Module):
             dtype=self.dtype,
             name="self_attn",
         )(q, reference_points, src, spatial_shapes)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn_out)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(src)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(y))
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + y)
 
 
 def _reference_points(spatial_shapes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
@@ -184,7 +184,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             x = features[name]
             n, h, w, _ = x.shape
             y = nn.Conv(C, (1, 1), dtype=self.dtype, name=f"input_proj_{i}")(x)
-            y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_proj_gn_{i}")(y)
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"input_proj_gn_{i}")(y)
             srcs.append(y.reshape(n, h * w, C))
             pos2d = pe.grid2d(h, w).astype(self.dtype)  # [h, w, C]
             level_embed = self.param(
@@ -225,13 +225,13 @@ class MSDeformAttnPixelDecoder(nn.Module):
         for i, name in enumerate(list(self.fpn_in_features)[::-1]):
             x = features[name]
             lat = nn.Conv(C, (1, 1), use_bias=False, dtype=self.dtype, name=f"adapter_{i}")(x)
-            lat = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"adapter_gn_{i}")(lat)
+            lat = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"adapter_gn_{i}")(lat)
             up = jax.image.resize(
                 outs[-1], (n, x.shape[1], x.shape[2], C), method="bilinear"
             ).astype(self.dtype)
             y = lat + up
             y = nn.Conv(C, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name=f"layer_{i}")(y)
-            y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"layer_gn_{i}")(y)
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"layer_gn_{i}")(y)
             outs.append(nn.relu(y))
 
         mask_features_bfe_conv = outs[-1]  # 1/4, C channels

@@ -85,8 +85,8 @@ class VLFuse(nn.Module):
 
     @nn.compact
     def __call__(self, v, l, lang_valid=None):
-        vn = nn.LayerNorm(dtype=jnp.float32, name="layer_norm_v")(v).astype(v.dtype)
-        ln = nn.LayerNorm(dtype=jnp.float32, name="layer_norm_l")(l).astype(l.dtype)
+        vn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm_v")(v).astype(v.dtype)
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm_l")(l).astype(l.dtype)
         dv, dl = BiMultiHeadAttention(
             self.embed_dim, self.num_heads, self.v_dim, self.l_dim,
             self.dtype, name="attn",
@@ -130,7 +130,7 @@ class MSDeformAttnPixelDecoderVL(nn.Module):
             x = features[name]
             n, h, w, _ = x.shape
             y = nn.Conv(C, (1, 1), dtype=self.dtype, name=f"input_proj_{i}")(x)
-            y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_proj_gn_{i}")(y)
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"input_proj_gn_{i}")(y)
             srcs.append(y.reshape(n, h * w, C))
             pos2d = pe.grid2d(h, w).astype(self.dtype)
             level_embed = self.param(f"level_embed_{i}", nn.initializers.normal(1.0), (C,), jnp.float32)
@@ -165,10 +165,10 @@ class MSDeformAttnPixelDecoderVL(nn.Module):
         for i, name in enumerate(list(self.fpn_in_features)[::-1]):
             x = features[name]
             lat = nn.Conv(C, (1, 1), use_bias=False, dtype=self.dtype, name=f"adapter_{i}")(x)
-            lat = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"adapter_gn_{i}")(lat)
+            lat = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"adapter_gn_{i}")(lat)
             up = jax.image.resize(outs[-1], (n, x.shape[1], x.shape[2], C), method="bilinear").astype(self.dtype)
             y = nn.Conv(C, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype, name=f"layer_{i}")(lat + up)
-            y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"layer_gn_{i}")(y)
+            y = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype, name=f"layer_gn_{i}")(y)
             outs.append(nn.relu(y))
 
         mask_features_bfe = outs[-1]

@@ -215,12 +215,23 @@ PROMPT_TEMPLATES = [
 ]
 
 
-def pre_tokenize(texts: List[str], tokenizer: Optional[ClipTokenizer] = None) -> np.ndarray:
-    """Each text x 81 templates -> [N, 81, 77] token ids
-    (reference: clip_prompt_utils.py pre_tokenize/pre_tokenize_expression)."""
+def pre_tokenize(
+    texts: List[str],
+    tokenizer: Optional[ClipTokenizer] = None,
+    text_type: str = "class_name",
+) -> np.ndarray:
+    """Each text x 81 templates -> [N, 81, 77] token ids.
+
+    ``text_type='class_name'`` cleans the name like the reference's
+    ``prompt_engineering`` ('/' and ',' removed, '+' -> space;
+    clip_prompt_utils.py:332-333); ``'expression'`` substitutes the raw
+    sentence (pre_tokenize_expression does a plain ``{}`` replace).
+    """
     tok = tokenizer or ClipTokenizer()
     out = np.zeros((len(texts), len(PROMPT_TEMPLATES), CONTEXT_LENGTH), np.int64)
     for i, text in enumerate(texts):
-        prompts = [t.replace("{}", text.replace("/", "").replace("+", " ")) for t in PROMPT_TEMPLATES]
+        if text_type == "class_name":
+            text = text.replace("/", "").replace(",", "").replace("+", " ")
+        prompts = [t.replace("{}", text) for t in PROMPT_TEMPLATES]
         out[i] = tok(prompts)
     return out

@@ -80,7 +80,7 @@ class SelfAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, pos=None, bias=None):
         attn = MultiHeadAttention(self.d_model, self.num_heads, self.dtype, name="attn")
-        ln = nn.LayerNorm(dtype=self.dtype, name="norm")
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         if self.pre_norm:
             y = ln(x)
             qk = y if pos is None else y + pos
@@ -100,7 +100,7 @@ class CrossAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mem, query_pos=None, pos=None, bias=None, return_weights=False):
         attn = MultiHeadAttention(self.d_model, self.num_heads, self.dtype, name="attn")
-        ln = nn.LayerNorm(dtype=self.dtype, name="norm")
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         if self.pre_norm:
             y = ln(x)
             q = y if query_pos is None else y + query_pos
@@ -125,7 +125,7 @@ class FFNBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        ln = nn.LayerNorm(dtype=self.dtype, name="norm")
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         def ffn(y):
             y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(y)
             y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(y))

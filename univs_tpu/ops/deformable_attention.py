@@ -18,8 +18,10 @@ Here we provide:
   computation so XLA emits one gather + one reduction; fp32
   accumulation regardless of input dtype (the reference force-runs
   deformable attn in fp32 under AMP — msdeformattn.py @autocast(False)).
-- A Pallas kernel variant lives in :mod:`univs_tpu.ops.pallas_msda`
-  and is dispatched automatically on TPU for supported shapes.
+
+A hand-written Pallas/Mosaic kernel was prototyped and benchmarked
+(tools/probe_pallas_gather.py); Mosaic currently cannot beat the fused
+XLA gather here — see docs/PERFORMANCE.md for the investigation.
 
 Coordinate convention (torch grid_sample, align_corners=False):
 ``pix = loc * size - 0.5`` where ``loc`` in [0, 1]; out-of-range

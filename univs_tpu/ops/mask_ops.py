@@ -211,4 +211,8 @@ def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     oh, ow = out_hw
     if (H, W) == (oh, ow):
         return x
-    return jax.image.resize(x, (*lead, oh, ow), method="bilinear")
+    # antialias=False: torch's F.interpolate does plain bilinear taps even
+    # when downsampling; jax.image.resize defaults to antialias=True which
+    # diverges substantially on downsamples (sign flips across the 0-logit
+    # threshold feeding the masked-attention bias).
+    return jax.image.resize(x, (*lead, oh, ow), method="bilinear", antialias=False)
