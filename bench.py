@@ -27,15 +27,24 @@ import numpy as np
 A100_REFERENCE_FPS_ESTIMATE = 10.0
 
 
-def timeit(fn, *args, iters=10):
-    out = fn(*args)
+def _drain(out):
+    """Force execution of everything enqueued before `out` (FIFO) by
+    fetching a scalar to host.  NOTE: jax.block_until_ready does NOT
+    reliably block under the axon PJRT tunnel — a device->host copy is
+    the only trustworthy sync."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf[(0,) * leaf.ndim]))
+
+
+def timeit(fn, *args, iters=10):
+    for _ in range(2):
+        _drain(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*args) for _ in range(iters)]
+    _drain(outs[-1])
     return (time.perf_counter() - t0) / iters
 
 

@@ -84,6 +84,54 @@ def test_msda_fused_matches_reference_bf16():
     )
 
 
+def test_msda_tent_kernel_matches_oracle_interpret():
+    """Pallas tent-matmul kernel vs the torch oracle (interpret mode on
+    CPU, f32 — the kernel math must be exact up to f32 rounding)."""
+    from univs_tpu.ops.deformable_attention import ms_deform_attn_tent
+
+    rng = np.random.RandomState(5)
+    shapes = ((6, 8), (3, 4), (2, 2))
+    S = sum(h * w for h, w in shapes)
+    N, M, D, Lq, P = 2, 4, 8, 7, 3
+    L = len(shapes)
+    value = rng.randn(N, S, M, D).astype(np.float32)
+    loc = rng.uniform(-0.2, 1.2, size=(N, Lq, M, L, P, 2)).astype(np.float32)
+    w = rng.rand(N, Lq, M, L, P).astype(np.float32)
+    w /= w.reshape(N, Lq, M, -1).sum(-1)[..., None, None]
+    expected = _torch_msda_oracle(value, shapes, loc, w)
+    got = ms_deform_attn_tent(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(w), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4, rtol=1e-4)
+
+
+def test_msda_dispatch_and_grad():
+    """impl='gather' on CPU; the tent custom_vjp backward (gather vjp)
+    produces the same gradients as differentiating the gather impl."""
+    rng = np.random.RandomState(6)
+    shapes = ((4, 4), (2, 2))
+    S = sum(h * w for h, w in shapes)
+    N, M, D, Lq, P = 1, 2, 4, 5, 2
+    L = len(shapes)
+    value = jnp.array(rng.randn(N, S, M, D).astype(np.float32))
+    loc = jnp.array(rng.rand(N, Lq, M, L, P, 2).astype(np.float32))
+    w = jnp.array(rng.rand(N, Lq, M, L, P).astype(np.float32))
+
+    g_gather = jax.grad(lambda v: ms_deform_attn(v, shapes, loc, w, impl="gather").sum())(value)
+
+    from univs_tpu.ops import deformable_attention as da
+
+    # force the tent-VJP path but run its forward in interpret mode so
+    # this works on CPU
+    orig = da.ms_deform_attn_tent
+    try:
+        da.ms_deform_attn_tent = lambda *a, **k: orig(*a, interpret=True, **k)
+        g_tent = jax.grad(lambda v: da.ms_deform_attn(v, shapes, loc, w, impl="tent").sum())(value)
+    finally:
+        da.ms_deform_attn_tent = orig
+    np.testing.assert_allclose(np.asarray(g_tent), np.asarray(g_gather), atol=1e-4, rtol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # position encoding
 # ---------------------------------------------------------------------------

@@ -18,10 +18,12 @@ import numpy as np
 
 from univs_tpu.data.augment import (
     ClipTransform,
+    TrainAugConfig,
     resize_shortest_edge,
-    sample_lsj_transform,
+    sample_clip_transforms,
     transformed_image_size,
 )
+from univs_tpu.data.video import read_video_frames
 from univs_tpu.data.ytvis import segmentation_to_mask
 
 
@@ -42,6 +44,11 @@ class TrainMapperConfig:
     max_instances: int = 40
     mask_stride: int = 4  # store GT masks at 1/4 of the canvas
     num_max_frames: int = 128  # ArbitraryT PE normalizer
+    # pseudo-video extras for image datasets (reference
+    # cfg.INPUT.PSEUDO.AUGMENTATIONS: color jitter + rotation applied to
+    # still->clip replication; build_augmentation:471-483)
+    pseudo_color_jitter: bool = True
+    pseudo_rotation: bool = True
 
 
 class TrainVideoMapper:
@@ -51,7 +58,15 @@ class TrainVideoMapper:
 
     def __call__(self, record: Dict) -> Optional[Dict]:
         c = self.cfg
-        V = len(record["file_names"])
+        is_raw_video = "video_path" in record and not record.get("file_names")
+        if is_raw_video:
+            V = int(record.get("video_len") or record.get("length") or 0)
+            if V <= 0:
+                from univs_tpu.data.video import video_num_frames
+
+                V = video_num_frames(record["video_path"])
+        else:
+            V = len(record["file_names"])
         T = c.num_frames
 
         # reference-frame window sampling around a random center
@@ -64,10 +79,24 @@ class TrainVideoMapper:
             idxs = np.concatenate([idxs, idxs[-1:]])
         idxs = idxs[:T]
 
-        frames = [_load_image(record["file_names"][i]) for i in idxs]
+        if is_raw_video:
+            # mp4 decode path (reference: dataset_mapper_uni_vid.py:330-345)
+            frames = read_video_frames(record["video_path"], idxs)
+        else:
+            frames = [_load_image(record["file_names"][i]) for i in idxs]
         h, w = frames[0].shape[:2]
-        t = sample_lsj_transform(self.rng, (h, w), c.image_size, c.min_scale, c.max_scale)
-        images = np.stack([t.apply_image(f) for f in frames]).astype(np.float32)
+        # per-frame transform pipeline; pseudo-video clips from a single
+        # still get the color-jitter + rotation extras
+        pseudo = V == 1
+        aug_cfg = TrainAugConfig(
+            image_size=c.image_size, min_scale=c.min_scale, max_scale=c.max_scale,
+            color_jitter=pseudo and c.pseudo_color_jitter,
+            rotation=pseudo and c.pseudo_rotation,
+        )
+        tfs = sample_clip_transforms(self.rng, (h, w), T, aug_cfg)
+        images = np.stack(
+            [tf.apply_image(f) for tf, f in zip(tfs, frames)]
+        ).astype(np.float32)
 
         ms = c.image_size // c.mask_stride
         N = c.max_instances
@@ -85,7 +114,7 @@ class TrainVideoMapper:
                 m = segmentation_to_mask(segm, record["height"], record["width"])
                 if m is None or m.sum() == 0:
                     continue
-                m = t.apply_mask(m)
+                m = tfs[ti].apply_mask(m)
                 # downsample to mask stride (nearest)
                 m = m[:: c.mask_stride, :: c.mask_stride][:ms, :ms]
                 if m.sum() == 0:
@@ -124,7 +153,15 @@ class EvalVideoMapper:
         self.div = size_divisibility
 
     def __call__(self, record: Dict) -> Dict:
-        frames = [_load_image(p) for p in record["file_names"]]
+        if "video_path" in record and not record.get("file_names"):
+            # raw-video datasets (custom_videos / InternVid / Pexels):
+            # mp4 decode in the mapper, as the reference does
+            # (dataset_mapper_uni_vid.py:330-345)
+            frames = read_video_frames(
+                record["video_path"], None, record.get("max_frames", 10000)
+            )
+        else:
+            frames = [_load_image(p) for p in record["file_names"]]
         h, w = frames[0].shape[:2]
         t = resize_shortest_edge((h, w), self.short, self.max_size, self.div)
         images = np.stack([t.apply_image(f) for f in frames]).astype(np.float32)
@@ -132,7 +169,7 @@ class EvalVideoMapper:
         return {
             "images": images,
             "image_size": (ih, iw),  # content size within the padded canvas
-            "out_size": (record["height"], record["width"]),
+            "out_size": (record.get("height", h), record.get("width", w)),
             "video_id": record["video_id"],
             "video_len": len(frames),
             "dataset_name": record["dataset_name"],

@@ -278,21 +278,24 @@ class EntityDriver:
 
     def run_vss(self, frames: np.ndarray, cls_emb: jnp.ndarray,
                 image_size=None, out_size=None) -> np.ndarray:
-        """VSS: per-clip semantic argmax from learnable queries only
-        (reference: save_results_vss — inference_video_entity.py:1096-1132;
-        clip stride = num_frames for vss :299).
+        """VSS: per-clip semantic argmax from learnable queries only —
+        the reference keeps NO cross-clip state for vss (save_results_vss
+        is called with the per-clip ``out_learn`` and clip stride =
+        num_frames; reference: inference_video_entity.py:299,357-360,
+        1096-1132).
 
-        Transcribes the reference pipeline: sigmoid class logits scaled
-        by per-query mask quality, per-pixel class evidence
-        ``einsum('qc,qthw->cthw')`` over sigmoid masks, bilinear
-        upsample to the padded input size, crop, argmax, then nearest
-        resize to the output size (argmax commutes with nearest+crop,
-        so it runs before the host-side resize).  One deviation, noted
-        for parity: evidence is accumulated in sigmoid space at 1/4 res
-        and bilinearly upsampled (linear, exact for the einsum), where
-        the reference upsamples raw mask logits before the sigmoid —
-        sigma(resize(x)) vs resize(sigma(x)) differ only at mask
-        boundaries and avoid materializing [Q, T, H, W] logits.
+        Exact transcription of the reference pipeline: raw mask logits
+        bilinearly upsampled to the padded size and cropped, per-query
+        quality = count(logits>1)/count(logits>-1) over the upsampled
+        clip (utils/comm.py:86-89), sigmoid class logits scaled by
+        quality, per-pixel evidence ``einsum('qc,qthw->cthw')`` over
+        sigmoid masks, argmax.  The reference's final nearest resize to
+        out_size commutes with sigmoid/einsum/argmax, so it runs
+        host-side after the argmax (quality counts are taken before
+        that nearest resize — a count-*ratio*, which nearest resizing
+        rescales numerator and denominator alike).  The tail clip runs
+        at its true shorter length, as the reference does
+        (frame_indices = arange(i, min(i+T, V))).
         Returns per-frame class maps [V, out_h, out_w] int32."""
         V, H, W = frames.shape[:3]
         image_size = image_size or (H, W)
@@ -303,37 +306,31 @@ class EntityDriver:
 
         @jax.jit
         def vss_clip(params, encoded, frame_indices):
+            # frame_indices length Tc specializes the tail clip
             mask_features, ms = encoded
             out = dec.apply(
                 {"params": params["decoder"]}, ms, mask_features, frame_indices[None],
                 task="detection", cls_emb=cls_emb,
             )
-            logits = jax.nn.sigmoid(out["pred_logits"][0].astype(jnp.float32))
-            masks = out["pred_masks"][0].astype(jnp.float32)
-            from univs_tpu.inference.entity import mask_quality_scores
-
-            q = mask_quality_scores(masks)
-            sem = jnp.einsum("qc,qthw->cthw", logits * q[:, None], jax.nn.sigmoid(masks))
-            # bilinear to padded size per frame, crop, argmax (exact
-            # commute with the reference's downstream nearest resize)
-            K, T = sem.shape[:2]
-
-            def per_frame(s):  # [K, h4, w4] -> [ih, iw] labels
-                up = jax.image.resize(s, (K, H, W), method="bilinear", antialias=False)
-                return jnp.argmax(up[:, :ih, :iw], axis=0).astype(jnp.int32)
-
-            return jax.lax.map(per_frame, sem.transpose(1, 0, 2, 3))  # [T, ih, iw]
+            return vss_semantic_labels(
+                out["pred_logits"][0], out["pred_masks"][0], (H, W), (ih, iw)
+            )
 
         labels = np.zeros((V, *out_size), np.int32)
         i = 0
         while i < V:
+            Tc = min(self.T, V - i)
             clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
             encoded = self._encode_window_fn(self.params, frames_j[clip_idx])
-            sem = np.asarray(vss_clip(self.params, encoded, jnp.asarray(clip_idx)))
+            if Tc < self.T:  # true short tail clip (reference semantics)
+                mf_w, ms_w = encoded
+                encoded = (mf_w[:Tc], tuple(m[:Tc] for m in ms_w))
+            sem = np.asarray(
+                vss_clip(self.params, encoded, jnp.asarray(clip_idx[:Tc]))
+            )
             up = _resize_labels_nearest(sem, out_size)
-            for k in range(self.T):
-                if i + k < V:
-                    labels[i + k] = up[k]
+            for k in range(Tc):
+                labels[i + k] = up[k]
             i += self.T
         return labels
 
@@ -389,6 +386,46 @@ class EntityDriver:
                 panoptic[t][m] = seg_id
                 taken |= m
         return panoptic, segments_info
+
+
+def vss_semantic_labels(pred_logits, pred_masks, padded_hw, image_hw) -> jnp.ndarray:
+    """Per-clip semantic label maps — exact transcription of
+    ``save_results_vss`` (reference: inference_video_entity.py:1096-1132
+    + calculate_mask_quality_scores, utils/comm.py:86-89).
+
+    pred_logits [Q, K] raw; pred_masks [Q, Tc, h4, w4] raw logits.
+    Upsample logits bilinearly to ``padded_hw``, crop to ``image_hw``;
+    quality = count(>1)/count(>-1) per query over the clip; evidence =
+    einsum(sigmoid(logits)*quality, sigmoid(masks)); argmax.  The
+    reference's final nearest resize to out_size happens host-side (it
+    commutes with everything here).  Returns [Tc, ih, iw] int32.
+    """
+    H, W = padded_hw
+    ih, iw = image_hw
+    logits = jax.nn.sigmoid(pred_logits.astype(jnp.float32))  # [Q, K]
+    masks_t = pred_masks.astype(jnp.float32).transpose(1, 0, 2, 3)  # [Tc, Q, h4, w4]
+    Q = logits.shape[0]
+
+    def up_frame(mt):  # [Q, h4, w4] -> [Q, ih, iw] logits
+        u = jax.image.resize(mt, (Q, H, W), method="bilinear", antialias=False)
+        return u[:, :ih, :iw]
+
+    def count_frame(carry, mt):
+        u = up_frame(mt)
+        pos, tot = carry
+        return (pos + (u > 1).sum(axis=(1, 2)), tot + (u > -1).sum(axis=(1, 2))), None
+
+    zeros = jnp.zeros((Q,), jnp.int32)
+    (pos, tot), _ = jax.lax.scan(count_frame, (zeros, zeros), masks_t)
+    quality = pos.astype(jnp.float32) / jnp.maximum(tot, 1).astype(jnp.float32)
+    wlogits = logits * quality[:, None]  # [Q, K]
+
+    def frame_label(mt):
+        u = jax.nn.sigmoid(up_frame(mt))
+        sem = jnp.einsum("qc,qhw->chw", wlogits, u)
+        return jnp.argmax(sem, axis=0).astype(jnp.int32)
+
+    return jax.lax.map(frame_label, masks_t)  # [Tc, ih, iw]
 
 
 def _resize_labels_nearest(labels: np.ndarray, out_size) -> np.ndarray:

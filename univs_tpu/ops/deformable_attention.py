@@ -18,10 +18,22 @@ Here we provide:
   computation so XLA emits one gather + one reduction; fp32
   accumulation regardless of input dtype (the reference force-runs
   deformable attn in fp32 under AMP — msdeformattn.py @autocast(False)).
+- :func:`ms_deform_attn_tent` — the TPU Pallas kernel (2.2x the fused
+  gather on v5e).  Key idea: bilinear interpolation weights ARE the
+  tent function ``relu(1 - |i - x|)`` on the integer grid — including
+  grid_sample's zero padding (out-of-range corners get zero weight
+  automatically).  So sampling becomes two dense contractions per
+  (frame, head, level): an MXU matmul of the x-tent matrix [rows, W]
+  with the slab laid out [W, D*H], then a tiled y-tent multiply and a
+  second tiny matmul against a constant 0/1 grouping matrix (Mosaic
+  cannot lane-split-reshape, so the grouped y-reduction rides the MXU
+  too).  No per-row gather issue cost at all; measured per 5-frame
+  encoder layer at 640x960 (v5e): 47ms vs 104ms for the XLA gather.
+  Forward-only: :func:`ms_deform_attn` wraps it in a ``jax.custom_vjp``
+  whose backward differentiates the gather formulation.
 
-A hand-written Pallas/Mosaic kernel was prototyped and benchmarked
-(tools/probe_pallas_gather.py); Mosaic currently cannot beat the fused
-XLA gather here — see docs/PERFORMANCE.md for the investigation.
+Dispatch: ``ms_deform_attn(..., impl='auto')`` picks the tent kernel on
+TPU backends and the fused gather elsewhere (CPU tests, interpret runs).
 
 Coordinate convention (torch grid_sample, align_corners=False):
 ``pix = loc * size - 0.5`` where ``loc`` in [0, 1]; out-of-range
@@ -118,13 +130,13 @@ def ms_deform_attn_reference(
 # wrapper shares traced jaxprs across different outer traces, which
 # trips a jax-0.9 buffer-accounting bug on this stack ("Execution
 # supplied N buffers but compiled program expected M").
-def ms_deform_attn(
+def _msda_gather(
     value: jnp.ndarray,
     spatial_shapes: Tuple[Tuple[int, int], ...],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Production multi-scale deformable attention (2x2 patch gathers).
+    """Fused-gather multi-scale deformable attention (2x2 patch gathers).
 
     Same signature/semantics as :func:`ms_deform_attn_reference`.  Each
     bilinear sample's four corners are fetched with ONE ``lax.gather``
@@ -202,3 +214,170 @@ def ms_deform_attn(
 
     out = jnp.moveaxis(out, 1, 2).reshape(N, Lq, M * D)
     return out.astype(value.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas tent-matmul kernel (TPU)
+# ---------------------------------------------------------------------------
+
+
+def _tent_block_size(DH: int) -> int:
+    """Query-row block so the f32 [bq, D*H] intermediate stays ~<=4MB."""
+    if DH <= 768:
+        return 2048
+    if DH <= 1536:
+        return 1024
+    if DH <= 3072:
+        return 1024
+    return 512
+
+
+def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, dtype):
+    DH = D * H
+
+    def kernel(x_ref, y_ref, wa_ref, v_ref, o_ref):
+        # x/y/wa: [1, bq, M] pixel coords + attention weight per row
+        # v: [1, M, W, D*H] (x contracted first; lanes are d-major, j-minor)
+        xio = jax.lax.broadcasted_iota(jnp.int32, (bq, W), 1).astype(jnp.float32)
+        # y tent built tiled directly: lane l of the [bq, D*H] plane is
+        # (d = l // H, j = l % H)
+        jio = (jax.lax.broadcasted_iota(jnp.int32, (bq, DH), 1) % H).astype(jnp.float32)
+        # grouping matrix G[(d, j), d'] = (d == d'): the grouped
+        # y-reduction out[q, d] = sum_j P[q, d*H + j] as an MXU matmul
+        # (Mosaic cannot lane-split reshape [bq, D*H] -> [bq, H, D])
+        g_rows = jax.lax.broadcasted_iota(jnp.int32, (DH, D), 0)
+        g_cols = jax.lax.broadcasted_iota(jnp.int32, (DH, D), 1)
+        G = (g_rows // H == g_cols).astype(dtype)
+        for m in range(M):
+            x = x_ref[0, :, m][:, None]  # [bq, 1]
+            y = y_ref[0, :, m][:, None]
+            wa = wa_ref[0, :, m][:, None]
+            # tents computed in f32 (coords are large), stored in the
+            # value dtype — same weight precision as the gather path
+            mx = jnp.maximum(1.0 - jnp.abs(xio - x), 0.0).astype(dtype)  # [bq, W]
+            t1 = jnp.dot(
+                mx, v_ref[0, m], preferred_element_type=jnp.float32
+            )  # [bq, D*H] (f32 MXU accumulate)
+            my_tile = jnp.maximum(1.0 - jnp.abs(jio - y), 0.0) * wa  # [bq, D*H] f32
+            p2 = (my_tile * t1).astype(dtype)
+            o_ref[0, :, m] = jnp.dot(p2, G, preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, *, interpret=False):
+    """One level's bilinear samples.
+
+    slab_xmajor [N, M, W, D*H] (element (x; d, j) = V[j, x, d]);
+    xs/ys/was [N, R, M] pixel coords + attention weights per sample row.
+    Returns [N, R, M, D] f32 attention-weighted samples.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m, W, DH = slab_xmajor.shape
+    _, R, _ = xs.shape
+    H = DH // D
+    bq = _tent_block_size(DH)
+    pad = (-R) % bq
+    if pad:
+        # padded rows get far-outside coords -> zero tents -> zero output
+        xs = jnp.concatenate([xs, jnp.full((n, pad, m), -10.0, xs.dtype)], axis=1)
+        ys = jnp.concatenate([ys, jnp.full((n, pad, m), -10.0, ys.dtype)], axis=1)
+        was = jnp.concatenate([was, jnp.zeros((n, pad, m), was.dtype)], axis=1)
+    Rp = R + pad
+    out = pl.pallas_call(
+        _tent_kernel(H, W, bq, m, D, slab_xmajor.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, Rp, m, D), jnp.float32),
+        grid=(n, Rp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, W, DH), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, m, D), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(xs, ys, was, slab_xmajor)
+    return out[:, :R]
+
+
+def ms_deform_attn_tent(
+    value: jnp.ndarray,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tent-matmul MSDA forward (same contract as the gather impl)."""
+    N, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+
+    starts = [0]
+    for (h, w) in spatial_shapes:
+        starts.append(starts[-1] + h * w)
+
+    out = jnp.zeros((N, Lq, M, D), jnp.float32)
+    for lid, (h, w) in enumerate(spatial_shapes):
+        vl = value[:, starts[lid] : starts[lid + 1]]  # [N, S_l, M, D]
+        slab = jnp.moveaxis(vl, 2, 1).reshape(N, M, h, w, D)
+        slab = slab.transpose(0, 1, 3, 4, 2).reshape(N, M, w, D * h)
+        loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P, 2]
+        wa = attention_weights[:, :, :, lid]  # [N, Lq, M, P]
+        # rows = (query, point) pairs
+        x = (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
+        y = (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
+        was = wa.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
+        o = _msda_tent_level(slab, x, y, was, D, interpret=interpret)  # [N, R, M, D]
+        out = out + o.reshape(N, Lq, P, M, D).sum(axis=2)
+    return out.reshape(N, Lq, M * D).astype(value.dtype)
+
+
+# ---------------------------------------------------------------------------
+# public op with dispatch + custom VJP
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _msda_tent_diff(value, spatial_shapes, sampling_locations, attention_weights):
+    return ms_deform_attn_tent(value, spatial_shapes, sampling_locations, attention_weights)
+
+
+def _msda_tent_fwd(value, spatial_shapes, sampling_locations, attention_weights):
+    out = ms_deform_attn_tent(value, spatial_shapes, sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _msda_tent_bwd(spatial_shapes, res, g):
+    value, loc, attn = res
+    # backward through the (equivalent) gather formulation
+    _, vjp = jax.vjp(lambda v, l, a: _msda_gather(v, spatial_shapes, l, a), value, loc, attn)
+    return vjp(g)
+
+
+_msda_tent_diff.defvjp(_msda_tent_fwd, _msda_tent_bwd)
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Production multi-scale deformable attention.
+
+    impl: 'auto' (tent kernel on TPU, fused gather elsewhere),
+    'tent', or 'gather'.
+    """
+    if impl == "auto":
+        impl = "tent" if jax.default_backend() not in ("cpu",) else "gather"
+    if impl == "tent":
+        return _msda_tent_diff(
+            value, tuple(spatial_shapes), sampling_locations, attention_weights
+        )
+    return _msda_gather(value, spatial_shapes, sampling_locations, attention_weights)
