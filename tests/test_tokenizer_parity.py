@@ -65,6 +65,37 @@ def test_tokenizer_has_real_vocab():
     assert tok.sot == 49406 and tok.eot == 49407
 
 
+def test_category_bank_tokenization_golden(ref_tok):
+    """Bank-extraction tokenization on REAL combined_datasets.txt rows:
+    clean_strings on the whole synonym row, then 81 templates — must
+    match the reference pipeline token-for-token
+    (reference: extract_concept_emb.py:60-65)."""
+    from univs_tpu.models.tokenizer import clean_category_string
+
+    with open("/root/reference/datasets/concept_emb/combined_datasets.txt") as f:
+        rows = [l.strip() for l in f if l.strip()]
+    assert len(rows) == 3938  # matches the category_info offsets
+    sample = rows[:5] + rows[1000:1005] + rows[2641:2646] + rows[-5:]
+
+    for row in sample:
+        ref_cleaned = ref_tok.clean_strings(row)
+        ours_cleaned = clean_category_string(row)
+        assert ours_cleaned == ref_cleaned, (row, ours_cleaned, ref_cleaned)
+        ref_ids = ref_tok.pre_tokenize([[ref_cleaned]]).numpy()[0]  # [81, 77]
+        ours = pre_tokenize([ours_cleaned], text_type="class_name")[0]
+        assert (ours == ref_ids).all(), row
+
+
+def test_category_info_consistent_with_bank_rows():
+    from univs_tpu.data.category_info import (
+        COMBINED_DATASETS_CATEGORY_INFO,
+        TOTAL_CATEGORY_ROWS,
+    )
+
+    end = max(off + cnt for cnt, off in COMBINED_DATASETS_CATEGORY_INFO.values())
+    assert end == TOTAL_CATEGORY_ROWS == 3938
+
+
 def test_clip_text_tower_activation_parity():
     mod = ref_shim.load_reference_text_encoder_module()
     torch.manual_seed(0)

@@ -74,3 +74,58 @@ def test_train_step_sot(setup):
     batch = TrainBatch(images=images, frame_indices=fi, targets=targets)
     logged = _run(cfg, model, params, batch, "sot")
     assert any(k.startswith("loss_mask") for k in logged)
+
+
+def test_train_step_boxvis_teacher_pseudo_masks(setup):
+    """Box-only targets + EMA teacher: the projection loss replaces the
+    point-sampled mask loss, and the teacher pseudo-mask CE+dice is
+    produced and finite (reference: video_criterion.py:242-306 +
+    univs_prompt.py:395-401)."""
+    import dataclasses
+
+    cfg, model, params, images, fi, targets, cls_emb = setup
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train, boxvis_enabled=True, boxvis_ema_enabled=True,
+            # random-init teacher confidences are tiny; gate at 0 so the
+            # pseudo CE+dice path is exercised
+            pseudo_score_thresh=0.0,
+        )
+    )
+    B, N = targets.valid.shape
+    T = targets.masks.shape[2]
+    h, w = targets.masks.shape[-2:]
+    # box-region masks (axis-aligned rectangles), as BoxVIS provides
+    rng = np.random.RandomState(7)
+    boxes = np.zeros((B, N, T, h, w), np.float32)
+    for b in range(B):
+        for n in range(N):
+            y0, x0 = rng.randint(0, h // 2), rng.randint(0, w // 2)
+            boxes[b, n, :, y0 : y0 + h // 2, x0 : x0 + w // 2] = 1.0
+    # prompt slots: one per target + one negative pad (as the detection
+    # train path builds them — see __graft_entry__.dryrun_multichip)
+    Qp = N + 1
+    prompt_embs = jnp.concatenate(
+        [cls_emb[targets.labels - 1],
+         jnp.broadcast_to(cls_emb[:1][None], (B, 1, cls_emb.shape[-1]))], axis=1,
+    )
+    poi = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N)),
+         jnp.full((B, 1), -1, jnp.int32)], axis=1,
+    )
+    targets_box = dataclasses.replace(
+        targets, masks=jnp.asarray(boxes), prompt_obj_ids=poi
+    )
+
+    K = cls_emb.shape[0]
+    batch = TrainBatch(
+        images=images, frame_indices=fi, targets=targets_box,
+        prompt_category_embs=prompt_embs,
+        prompt_category_valid=jnp.ones((B, Qp), bool),
+        category_bank=cls_emb,
+        category_bank_valid=jnp.ones((K,), bool),
+    )
+    logged = _run(cfg, model, params, batch, "detection")
+    assert "loss_mask_proj" in logged and np.isfinite(float(logged["loss_mask_proj"]))
+    assert "loss_mask" in logged and np.isfinite(float(logged["loss_mask"]))
+    assert "loss_dice" in logged and np.isfinite(float(logged["loss_dice"]))

@@ -24,14 +24,16 @@ import numpy as np
 
 
 def load_names(path: str):
+    """One bank row per line; synonym rows ("tench, Tinca tinca,") stay
+    whole — clean_strings concatenates the synonyms (reference:
+    extract_concept_emb.py:60-69)."""
     names = []
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line:
                 continue
-            # "name,id"-style rows or plain names
-            names.append(line.split(",")[0])
+            names.append(line)
     return names
 
 
@@ -69,8 +71,11 @@ def main():
     bank = []
     for i in range(0, len(names), args.batch):
         chunk = names[i : i + args.batch]
-        bank.append(np.asarray(tpe.encode_category_names(chunk)))
-        if i % 128 == 0:
+        # pad the tail so the jitted encode keeps one static shape
+        npad = args.batch - len(chunk)
+        emb = np.asarray(tpe.encode_category_names(chunk + ["object"] * npad))
+        bank.append(emb[: len(chunk)])
+        if i % 512 == 0:
             print(f"{i}/{len(names)}", flush=True)
     bank = np.concatenate(bank)
     np.save(args.out, bank)

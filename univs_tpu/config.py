@@ -166,6 +166,12 @@ class TrainConfig:
     # stage-3 long-video training
     long_video_enable: bool = False
     num_frames_video: int = 7
+    # BoxVIS box-supervised training (projection loss) + EMA-teacher
+    # pseudo masks (reference: video_criterion.py:242-306 +
+    # mask2former/modeling/criterion.py:403 score thresh)
+    boxvis_enabled: bool = False
+    boxvis_ema_enabled: bool = False
+    pseudo_score_thresh: float = 0.2
 
 
 @dataclass(frozen=True)

@@ -234,6 +234,8 @@ def _layer_losses_learnable(
     cfg: TrainConfig,
     task: str,
     class_loss: bool = True,
+    boxvis: bool = False,
+    pseudo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     B, Ql, K = pred_logits.shape
     T = pred_masks.shape[2]
@@ -276,15 +278,40 @@ def _layer_losses_learnable(
         losses["loss_ce"] = ((loss_focal_b + loss_ce_b) * w).sum()
 
     # ---- masks (video_criterion.py:570-616) --------------------------
-    src = jax.vmap(lambda m, q: m[q])(pred_masks, mclip)  # [B, N, T, H, W]
-    src = src.reshape(B * N * T, *src.shape[-2:])
-    tgt = targets.masks.reshape(B * N * T, *targets.masks.shape[-2:])
-    logits, labels_pt = _sample_mask_points(r_pts, src, tgt, cfg)
-    row_valid = jnp.repeat(targets.valid.reshape(-1), T).astype(jnp.float32)
-    lm = (sigmoid_ce_points(logits, labels_pt) * row_valid).sum() / num_masks
-    ld = (dice_loss_points(logits, labels_pt) * row_valid).sum() / num_masks
-    losses["loss_mask"] = lm
-    losses["loss_dice"] = ld
+    src5 = jax.vmap(lambda m, q: m[q])(pred_masks, mclip)  # [B, N, T, H, W]
+    src = src5.reshape(B * N * T, *src5.shape[-2:])
+    if boxvis:
+        # box-supervised: projection loss vs box-region masks
+        # (video_criterion.py:618-652), plus — when EMA-teacher pseudo
+        # masks exist — point-sampled CE+dice on high-confidence pseudo
+        # masks (mask2former/modeling/criterion.py:526-570 gated at
+        # mask_pseudo_score_thresh, :403)
+        tgtb = targets.masks.reshape(B * N * T, *targets.masks.shape[-2:])
+        row_valid = jnp.repeat(targets.valid.reshape(-1), T).astype(jnp.float32)
+        losses.update(
+            loss_masks_box_supervised(src, tgtb, row_valid, num_masks)
+        )
+        if pseudo is not None:
+            pm, ps = pseudo  # [B, N, T, H, W], [B, N]
+            gate = (ps > cfg.pseudo_score_thresh) & targets.valid
+            row_gate = jnp.repeat(gate.reshape(-1), T).astype(jnp.float32)
+            n_hc = jnp.maximum(gate.sum(), 1).astype(jnp.float32) * T
+            pmr = pm.reshape(B * N * T, *pm.shape[-2:])
+            logits, labels_pt = _sample_mask_points(r_pts, src, pmr, cfg)
+            losses["loss_mask"] = (
+                sigmoid_ce_points(logits, labels_pt) * row_gate
+            ).sum() / n_hc
+            losses["loss_dice"] = (
+                dice_loss_points(logits, labels_pt) * row_gate
+            ).sum() / n_hc
+    else:
+        tgt = targets.masks.reshape(B * N * T, *targets.masks.shape[-2:])
+        logits, labels_pt = _sample_mask_points(r_pts, src, tgt, cfg)
+        row_valid = jnp.repeat(targets.valid.reshape(-1), T).astype(jnp.float32)
+        lm = (sigmoid_ce_points(logits, labels_pt) * row_valid).sum() / num_masks
+        ld = (dice_loss_points(logits, labels_pt) * row_valid).sum() / num_masks
+        losses["loss_mask"] = lm
+        losses["loss_dice"] = ld
 
     # ---- reid (video_criterion.py:409-478) ---------------------------
     embds = jax.vmap(lambda e, q: e[q])(pred_embds, mclip)  # [B, N, T, C]
@@ -386,6 +413,64 @@ def loss_masks_box_supervised(
     px = proj_dice(p.max(axis=-2), jax.image.resize(g, (g.shape[0], p.shape[1], p.shape[2]), "nearest").max(axis=-2))
     loss = ((px + py) * valid).sum() / num_masks
     return {"loss_mask_proj": loss}
+
+
+def boxvis_teacher_pseudo_masks(
+    rng: jax.Array,
+    teacher_logits: jnp.ndarray,  # [B, Ql, K] learnable-query logits (EMA teacher)
+    teacher_masks: jnp.ndarray,  # [B, Ql, T, H, W]
+    targets: TrainTargets,  # targets.masks are BOX-REGION binary masks
+    cls_valid: jnp.ndarray,  # [K]
+    cfg: TrainConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """EMA-teacher pseudo masks for box-supervised training — exact
+    transcription of ``BoxVISTeacherSetPseudoMask``
+    (reference: univs/modeling/video_criterion.py:242-306):
+
+    Hungarian-match teacher outputs to the box targets; per target the
+    pseudo mask is ``box_mask * sigmoid(matched teacher mask)`` and its
+    confidence is ``teacher class prob  x  0.5*(proj_x + proj_y)`` dice
+    agreement between the teacher mask's x/y max-projections and the
+    box mask's (projections flattened over all frames).  Our masks live
+    at the prediction resolution already, so the reference's
+    interpolate-to-target step is the identity.
+
+    Returns (masks_pseudo [B, N, T, H, W] soft in [0,1], scores [B, N]);
+    both stop-gradiented.
+    """
+    B, Ql, K = teacher_logits.shape
+    T = teacher_masks.shape[2]
+    match = jax.vmap(
+        lambda r, pl, pm, lb, gm, vd: match_video(r, pl, pm, lb, gm, vd, cfg)
+    )(jax.random.split(rng, B), teacher_logits, teacher_masks,
+      targets.labels, targets.masks, targets.valid)  # [B, N]
+    mclip = jnp.clip(match, 0)
+
+    soft = jax.nn.sigmoid(
+        jax.vmap(lambda m, q: m[q])(teacher_masks.astype(jnp.float32), mclip)
+    )  # [B, N, T, H, W]
+    prob = jax.nn.softmax(
+        jnp.where(cls_valid[None, None, :], teacher_logits.astype(jnp.float32), -1e9),
+        axis=-1,
+    )
+    lbl0 = jnp.clip(targets.labels - 1, 0, K - 1)
+    cls_score = jnp.take_along_axis(
+        jax.vmap(lambda p, q: p[q])(prob, mclip), lbl0[..., None], axis=-1
+    )[..., 0]  # [B, N]
+
+    box = targets.masks.astype(jnp.float32)  # [B, N, T, h, w]
+    N = match.shape[1]
+
+    def proj_score(a, b):  # [B, N, L] soft projections, dice COEFFICIENT
+        num = 2 * (a * b).sum(-1)
+        den = (a * a).sum(-1) + (b * b).sum(-1)
+        return num / jnp.maximum(den, 1e-6)
+
+    py = proj_score(soft.max(axis=-2).reshape(B, N, -1), box.max(axis=-2).reshape(B, N, -1))
+    px = proj_score(soft.max(axis=-1).reshape(B, N, -1), box.max(axis=-1).reshape(B, N, -1))
+    scores = cls_score * 0.5 * (px + py) * targets.valid
+    pseudo = box * soft
+    return jax.lax.stop_gradient(pseudo), jax.lax.stop_gradient(scores)
 
 
 def loss_masks_sem(
@@ -554,6 +639,8 @@ class UniCriterion:
         sem_loss: bool = False,
         level_sizes=None,
         tokens_per_prompt: int = 1,
+        boxvis: bool = False,
+        pseudo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         Ql = self.num_learnable
         T = self.num_frames
@@ -577,6 +664,7 @@ class UniCriterion:
                     layer["pred_masks"][:, :Ql],
                     layer["pred_embds"][:, :Ql],
                     targets, cls_valid, num_masks, self.cfg, task, class_loss,
+                    boxvis=boxvis, pseudo=pseudo,
                 )
                 merged.update(ll)
             if has_prompt:

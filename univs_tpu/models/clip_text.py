@@ -123,10 +123,17 @@ class TextPromptEncoder:
         eot = eot.reshape(n, m, -1)
         return word[:, 0], eot.mean(axis=1)
 
-    def encode_category_names(self, names) -> jnp.ndarray:
+    def encode_category_names(self, names, clean: bool = True) -> jnp.ndarray:
         """-> [K, D] mean-EOT category bank (matches the offline
-        concept_emb extraction protocol)."""
-        tokens = pre_tokenize(list(names), self.tokenizer, text_type="class_name")
+        concept_emb extraction protocol: clean_strings on the full
+        synonym row, 81 templates, EOT mean —
+        reference: tools/clip_concept_extraction/extract_concept_emb.py:53-78)."""
+        from univs_tpu.models.tokenizer import clean_category_string
+
+        names = list(names)
+        if clean:
+            names = [clean_category_string(n) for n in names]
+        tokens = pre_tokenize(names, self.tokenizer, text_type="class_name")
         n, m, L = tokens.shape
         _, eot = self._encode(self.params, jnp.asarray(tokens.reshape(n * m, L)))
         return eot.reshape(n, m, -1).mean(axis=1)

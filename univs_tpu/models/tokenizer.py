@@ -215,6 +215,20 @@ PROMPT_TEMPLATES = [
 ]
 
 
+def clean_category_string(s: str) -> str:
+    """Category-name cleaning used for the frozen embedding bank —
+    exact transcription of ``clean_strings`` + ``clean_string_exp``
+    (reference: clip_prompt_utils.py:485-507): underscores -> spaces,
+    digits and parens dropped, punctuation stripped, lowercased,
+    '-'/'/' -> spaces.  Synonym rows like "tench, Tinca tinca," become
+    one concatenated string ("tench tinca tinca")."""
+    import re as _re
+
+    s = " ".join(s.split("_"))
+    s = "".join(ch for ch in s if ch not in "0123456789()")
+    return _re.sub(r"([.,'!?\"()*#:;])", "", s.lower()).replace("-", " ").replace("/", " ")
+
+
 def pre_tokenize(
     texts: List[str],
     tokenizer: Optional[ClipTokenizer] = None,

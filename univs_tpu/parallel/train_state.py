@@ -136,7 +136,7 @@ def make_train_step(
     criterion = UniCriterion(cfg.train, cfg.decoder.num_queries, cfg.num_frames)
     ema_decay = cfg.train.ema_decay
 
-    def loss_fn(params, batch: TrainBatch, rng):
+    def loss_fn(params, batch: TrainBatch, rng, ema_params=None):
         r_model, r_crit, r_shuffle, r_prompt = jax.random.split(rng, 4)
         kwargs = dict(train=True)
         level_sizes = None
@@ -176,8 +176,31 @@ def make_train_step(
                 targets.valid, jnp.arange(targets.valid.shape[1])[None], -1
             )
             targets = dataclasses.replace(targets, prompt_obj_ids=poi)
+
+        # BoxVIS EMA-teacher pseudo masks (univs_prompt.py:395-401 +
+        # video_criterion.py:242-306): no-grad teacher forward, match to
+        # the box targets, build soft pseudo masks + confidences
+        pseudo = None
+        if cfg.train.boxvis_enabled and cfg.train.boxvis_ema_enabled and ema_params is not None:
+            from univs_tpu.losses.criterion import boxvis_teacher_pseudo_masks
+
+            out_t = model.apply(
+                {"params": jax.lax.stop_gradient(ema_params)},
+                batch.images, batch.frame_indices, task=task,
+                rngs={"shuffle": r_model, "prompt": r_prompt}, **kwargs,
+            )
+            Ql = cfg.decoder.num_queries
+            pseudo = boxvis_teacher_pseudo_masks(
+                jax.random.fold_in(r_crit, 31337),
+                out_t["pred_logits"][:, :Ql],
+                out_t["pred_masks"][:, :Ql],
+                targets, cls_valid, cfg.train,
+            )
+
         total, logged = criterion(
             r_crit, out, targets, cls_valid, task=task,
+            boxvis=cfg.train.boxvis_enabled,
+            pseudo=pseudo,
             # sot datasets without a category namespace skip the class
             # loss (reference: loss_labels_clip continues when the
             # dataset is absent from combined_datasets_category_info)
@@ -196,7 +219,7 @@ def make_train_step(
             tx = make_optimizer(cfg, state.params)
         rng = jax.random.fold_in(rng, state.step)
         (loss, logged), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
+            state.params, batch, rng, state.ema_params
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -51,8 +51,19 @@ def load_category_bank(path: Optional[str], num_rows: int, dim: int = 640,
                        seed: int = 0) -> np.ndarray:
     """Load the frozen CLIP category-embedding bank
     (reference data: datasets/concept_emb/
-    combined_datasets_cls_emb_rn50x4.pth, 3938x640).  Falls back to a
-    seeded random bank when no file is available (smoke/bench mode)."""
+    combined_datasets_cls_emb_rn50x4.pth, 3938x640).  When no path is
+    given, tries $UNIVS_TPU_CLS_BANK then the in-repo extraction
+    artifact (tools/extract_class_embeddings.py output); falls back to
+    a seeded random bank (smoke/bench mode)."""
+    if not path:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for cand in (
+            os.environ.get("UNIVS_TPU_CLS_BANK", ""),
+            os.path.join(repo, "artifacts", "combined_datasets_cls_emb_rn50x4_randinit.npy"),
+        ):
+            if cand and os.path.exists(cand):
+                path = cand
+                break
     if path and os.path.exists(path):
         if path.endswith(".npy"):
             bank = np.load(path)
