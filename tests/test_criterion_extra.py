@@ -79,3 +79,40 @@ def test_criterion_with_sem_and_l2v():
         task="detection", sem_loss=True,
     )
     assert bool(jnp.isfinite(total2))
+
+
+def test_contrastive_negative_subsample_law():
+    """Random negative-column subsample (video_criterion.py:184-188):
+    when every eligible column fits the 15/5 budget the subsampled loss
+    equals the full-set loss; when columns are plentiful, the selection
+    is capped and varies with the rng."""
+    from univs_tpu.losses.criterion import contrastive_loss
+
+    rng = np.random.RandomState(0)
+    R, K = 24, 24
+    sim = jnp.asarray(rng.randn(R, K), jnp.float32)
+    ids = np.arange(12).repeat(2)
+    pos = (ids[:, None] == ids[None]).astype(np.float32)
+    pos_many = pos.copy()
+    pos_many[:, 14:] = 0  # 14 active cols, 10 background cols
+    keep = jnp.ones((R,), bool)
+    full = contrastive_loss(sim, jnp.asarray(pos_many), keep, keep)
+    sub = contrastive_loss(sim, jnp.asarray(pos_many), keep, keep,
+                           rng=jax.random.PRNGKey(0))
+    # 10 bg cols exceed the 5-col budget -> restricted negative set
+    assert not np.isclose(float(full), float(sub))
+
+    # exact case: 15 active cols, 5 bg cols fit the budget exactly
+    pos_fit = pos.copy()
+    pos_fit[:, 15:] = 0
+    sim_t = sim[:, :20]
+    keep20 = jnp.ones((20,), bool)
+    full = contrastive_loss(sim_t, jnp.asarray(pos_fit[:, :20]), keep, keep20)
+    sub = contrastive_loss(sim_t, jnp.asarray(pos_fit[:, :20]), keep, keep20,
+                           rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(full), float(sub), rtol=1e-6)
+
+    # different rngs -> different subsets
+    s1 = contrastive_loss(sim, jnp.asarray(pos_many), keep, keep, rng=jax.random.PRNGKey(2))
+    s2 = contrastive_loss(sim, jnp.asarray(pos_many), keep, keep, rng=jax.random.PRNGKey(3))
+    assert not np.isclose(float(s1), float(s2))

@@ -76,6 +76,36 @@ def test_train_step_sot(setup):
     assert any(k.startswith("loss_mask") for k in logged)
 
 
+def test_remat_heads_is_semantically_identity(setup):
+    """remat_heads + swin-style checkpointing must not change the loss
+    (jax.checkpoint recomputes, never re-randomizes: the shuffle rng
+    stream is preserved by the lifted transform)."""
+    import dataclasses
+
+    cfg, model, params, images, fi, targets, cls_emb = setup
+    B, N = targets.valid.shape
+    K = cls_emb.shape[0]
+    tp = TextPrompts(
+        embs=jnp.broadcast_to(cls_emb[None, :, None, :], (B, K, 1, cls_emb.shape[-1])),
+        valid=jnp.ones((B, K), bool),
+    )
+
+    def loss(cfg_v):
+        m = UniVSModel(cfg_v)
+        out = m.apply(
+            {"params": params}, images, fi, task="detection",
+            text_prompts=tp, cls_emb=cls_emb, train=True,
+            rngs={"shuffle": jax.random.PRNGKey(3), "prompt": jax.random.PRNGKey(4)},
+        )
+        return float(jnp.sum(out["pred_masks"].astype(jnp.float32)) +
+                     jnp.sum(out["pred_logits"].astype(jnp.float32)))
+
+    base = loss(cfg)
+    cfg_r = cfg.replace(decoder=dataclasses.replace(cfg.decoder, remat_heads=True))
+    rem = loss(cfg_r)
+    assert np.isclose(base, rem, rtol=1e-5), (base, rem)
+
+
 def test_train_step_boxvis_teacher_pseudo_masks(setup):
     """Box-only targets + EMA teacher: the projection loss replaces the
     point-sampled mask loss, and the teacher pseudo-mask CE+dice is

@@ -88,6 +88,11 @@ class DecoderConfig:
     # inference-time fusion of learnable-query masks into prompt masks
     l4p_fusion: bool = True
     temporal_query_shuffle: bool = True  # train-time shuffle in mask head
+    # rematerialize the per-layer prediction heads in training: aux-layer
+    # full-res mask logits are recomputed in backward instead of stored
+    # (10 x [B, Q, T, H/4, W/4] f32 dominates HBM at 1024^2 Swin inputs;
+    # pair with backbone.swin_use_checkpoint — reference univs/config.py:63)
+    remat_heads: bool = False
 
 
 @dataclass(frozen=True)

@@ -44,9 +44,10 @@ def evaluate_dataset(
     if spec.evaluator_type == "ytvis":
         return _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir)
     if spec.task == "grounding":
-        return _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=text_encoder)
+        return _eval_refvos(cfg, params, records, mapper, cls_bank,
+                            text_encoder=text_encoder, output_dir=output_dir)
     if spec.evaluator_type in ("davis", "pvos"):
-        return _eval_vos(cfg, params, records, mapper, cls_bank)
+        return _eval_vos(cfg, params, records, mapper, cls_bank, output_dir=output_dir)
     if spec.evaluator_type == "vss":
         return _eval_vss(cfg, params, records, mapper, cls_bank)
     if spec.evaluator_type == "vps":
@@ -168,7 +169,8 @@ def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids):
     return out
 
 
-def _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=None):
+def _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=None,
+                 output_dir=None):
     """RefVOS J&F: one prompt per expression, GT = the referred object
     (reference: save_rvos_results per-expression dirs + DAVIS J&F)."""
     from univs_tpu.evaluation.davis import evaluate_davis_sequence
@@ -201,6 +203,17 @@ def _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=None):
             s["images"], tp.embs, tp.valid, cls_emb, n_expressions=n,
             image_size=s["image_size"], out_size=s["out_size"],
         )
+        if output_dir:
+            # Ref-YTVOS codalab layout (inference_video_vos.py:672-714)
+            from univs_tpu.evaluation.submission import emit_rvos_submission
+
+            video_name = rec.get("video_name", str(rec["video_id"]))
+            exp_ids = rec.get("exp_ids", [str(e) for e in range(n)])
+            emit_rvos_submission(
+                output_dir, video_name, exp_ids,
+                rec.get("file_names") or [f"{t:05d}.jpg" for t in range(masks.shape[1])],
+                masks,
+            )
         # GT: expression e refers to object exp_obj_ids[e]
         anns = {a["id"]: a for a in rec["annotations"]}
         obj_ids = rec.get("exp_obj_ids", list(anns))
@@ -220,7 +233,7 @@ def _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=None):
     return {"J": j, "F": f, "J&F": (j + f) / 2, "fps": total_frames / max(dt, 1e-6)}
 
 
-def _eval_vos(cfg, params, records, mapper, cls_bank):
+def _eval_vos(cfg, params, records, mapper, cls_bank, output_dir=None):
     from univs_tpu.evaluation.davis import evaluate_davis_sequence
 
     cls_emb = jnp.asarray(cls_bank, jnp.float32)
@@ -255,6 +268,17 @@ def _eval_vos(cfg, params, records, mapper, cls_bank):
             s["images"], gt14, faf, obj_valid, cls_emb,
             image_size=s["image_size"], out_size=s["out_size"],
         )
+        if output_dir:
+            # YTVOS18/DAVIS codalab layout (inference_video_vos.py:622-670)
+            from univs_tpu.evaluation.submission import emit_vos_submission
+
+            video_id = rec.get("video_name", str(rec["video_id"]))
+            emit_vos_submission(
+                output_dir, video_id,
+                rec.get("file_names") or [f"{t:05d}.jpg" for t in range(V)],
+                labels,
+                obj_ids=[a["id"] for a in anns],
+            )
         pred_masks = np.stack([(labels == n + 1) for n in range(N)]).astype(np.uint8)
         r = evaluate_davis_sequence(gt_full, pred_masks)
         res_j.append(r["J"])

@@ -1,0 +1,96 @@
+"""Codalab submission emitters for the no-local-GT benchmarks.
+
+Directory layouts are exact transcriptions of the reference writers
+(reference: univs/inference/inference_video_vos.py:622-714):
+
+- VOS (YouTube-VOS 2018/19, DAVIS test):
+    {output_dir}/inference/Annotations/{video_id}/{frame}.png
+  palette PNGs whose pixel value is the 1-based object id (argmax over
+  per-object mask logits; 0 = background).
+- RefVOS (Ref-YouTube-VOS):
+    {output_dir}/inference/Annotations/{video_name}/{exp_id}/{frame}.png
+  one grayscale 0/255 binary PNG per expression per frame.
+
+``zip_submission`` packs the Annotations tree the way the codalab
+servers expect (Annotations/ at the archive root).
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _frame_png_name(file_name: str) -> str:
+    base = os.path.basename(file_name)
+    stem = os.path.splitext(base)[0]
+    return stem + ".png"
+
+
+def emit_vos_submission(
+    output_dir: str,
+    video_id: str,
+    file_names: Sequence[str],
+    labels: np.ndarray,  # [V, H, W] uint8 label maps (0 = bg, i+1 = object i)
+    obj_ids: Optional[Sequence[int]] = None,
+) -> str:
+    """Write the YTVOS/DAVIS Annotations tree for one video.
+
+    obj_ids: dataset object ids per label index (label i+1 -> obj_ids[i]);
+    defaults to 1..N.  Returns the video directory."""
+    from univs_tpu.utils.visualization import save_vos_png
+
+    save_dir = os.path.join(output_dir, "inference", "Annotations", str(video_id))
+    os.makedirs(save_dir, exist_ok=True)
+    lab = labels
+    if obj_ids is not None:
+        remap = np.zeros(int(labels.max()) + 1, np.uint8)
+        for i, oid in enumerate(obj_ids):
+            if i + 1 < len(remap):
+                remap[i + 1] = oid
+        lab = remap[labels]
+    V = labels.shape[0]
+    assert len(file_names) >= V, (len(file_names), V)
+    for t in range(V):
+        save_vos_png(lab[t], os.path.join(save_dir, _frame_png_name(file_names[t])))
+    return save_dir
+
+
+def emit_rvos_submission(
+    output_dir: str,
+    video_name: str,
+    exp_ids: Sequence[str],
+    file_names: Sequence[str],
+    masks: np.ndarray,  # [N_exp, V, H, W] binary
+) -> str:
+    """Write the Ref-YTVOS per-expression Annotations tree
+    (reference: save_rvos_results — masks * 255 grayscale PNGs)."""
+    from PIL import Image
+
+    root = os.path.join(output_dir, "inference", "Annotations", str(video_name))
+    for i, exp_id in enumerate(exp_ids):
+        save_dir = os.path.join(root, str(exp_id))
+        os.makedirs(save_dir, exist_ok=True)
+        for t in range(masks.shape[1]):
+            m = (masks[i, t] > 0).astype(np.uint8) * 255
+            Image.fromarray(m).save(
+                os.path.join(save_dir, _frame_png_name(file_names[t]))
+            )
+    return root
+
+
+def zip_submission(output_dir: str, zip_name: str = "submission.zip") -> str:
+    """Zip {output_dir}/inference/Annotations -> {output_dir}/{zip_name}
+    with 'Annotations/...' arcnames (codalab layout)."""
+    ann_root = os.path.join(output_dir, "inference", "Annotations")
+    out_path = os.path.join(output_dir, zip_name)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _, files in sorted(os.walk(ann_root)):
+            for f in sorted(files):
+                full = os.path.join(dirpath, f)
+                arc = os.path.join("Annotations", os.path.relpath(full, ann_root))
+                zf.write(full, arc)
+    return out_path

@@ -95,11 +95,20 @@ def focal_conf_sigmoid(logits: jnp.ndarray, targets: jnp.ndarray, col_valid: jnp
 
 
 def contrastive_loss(sim: jnp.ndarray, pos: jnp.ndarray, row_valid: jnp.ndarray,
-                     col_valid: jnp.ndarray) -> jnp.ndarray:
+                     col_valid: jnp.ndarray, rng: Optional[jax.Array] = None,
+                     topk: int = 20) -> jnp.ndarray:
     """Masked version of the reference contrastive loss
-    (video_criterion.py:166-200), full negative set.
+    (video_criterion.py:166-200).
 
     sim: [R, K]; pos: [R, K] {0,1}; returns scalar.
+
+    With ``rng``, negatives are restricted to a random column subset
+    exactly as the reference does (:184-188): up to ``int(0.75*topk)``
+    columns that carry a positive for some row plus up to
+    ``int(0.25*topk)`` background columns, with the overall budget
+    capped at ``min(topk, 3*N_rows)`` (:176).  Without ``rng`` the full
+    negative set is used (deterministic; the stage-3 inter-clip loss
+    and unit fixtures rely on this).
     """
     pos = pos * row_valid[:, None] * col_valid[None, :]
     has_pos = pos.sum(-1) > 0
@@ -111,7 +120,24 @@ def contrastive_loss(sim: jnp.ndarray, pos: jnp.ndarray, row_valid: jnp.ndarray,
     pos_mean = (sim * pos).sum(-1) / jnp.maximum(pos.sum(-1), 1)
     pos_two = jnp.stack([pos_max, pos_mean], axis=-1)  # [R, 2]
 
-    is_neg = (1 - pos) * col_valid[None, :]
+    col_sel = col_valid.astype(jnp.float32)
+    if rng is not None:
+        # random column subsample (reference: randperm + cap at 3N)
+        cap = jnp.minimum(jnp.int32(topk), 3 * keep.sum().astype(jnp.int32))
+        n_act = (0.75 * cap).astype(jnp.int32)  # int(0.75*topk)
+        n_bg = (0.25 * cap).astype(jnp.int32)
+        col_act = (pos.sum(0) > 0) & col_valid
+        col_bg = (pos.sum(0) == 0) & col_valid
+        r1, r2 = jax.random.split(rng)
+
+        def pick(r, mask, n):
+            g = jnp.where(mask, jax.random.gumbel(r, mask.shape), neg_inf)
+            rank = jnp.argsort(jnp.argsort(-g))  # 0 = best
+            return mask & (rank < n)
+
+        col_sel = (pick(r1, col_act, n_act) | pick(r2, col_bg, n_bg)).astype(jnp.float32)
+
+    is_neg = (1 - pos) * col_sel[None, :]
     diff = sim[:, :, None] - pos_two[:, None, :]  # [R, K, 2]
     e = jnp.exp(jnp.minimum(diff, 10.0)) * is_neg[:, :, None]
     loss_row = jnp.log1p(e.reshape(e.shape[0], -1).sum(-1))
@@ -324,7 +350,9 @@ def _layer_losses_learnable(
 
     sim = flat @ flat.T / math.sqrt(C)
     pos = ((ids[:, None] == ids[None]) & (vids[:, None] == vids[None])).astype(jnp.float32)
-    losses["loss_reid"] = contrastive_loss(sim, pos, keep, keep)
+    losses["loss_reid"] = contrastive_loss(
+        sim, pos, keep, keep, rng=jax.random.fold_in(rng, 101)
+    )
     nrm = flat / jnp.maximum(jnp.linalg.norm(flat, axis=-1, keepdims=True), 1e-12)
     sim_aux = nrm @ nrm.T
     losses["loss_reid_aux"] = contrastive_aux_loss(sim_aux, pos, keep, keep)
@@ -385,7 +413,9 @@ def _layer_losses_prompt(
     keep = ids >= 0
     sim = flat @ flat.T / math.sqrt(C)
     pos = ((ids[:, None] == ids[None]) & (vids[:, None] == vids[None])).astype(jnp.float32)
-    losses["loss_reid"] = contrastive_loss(sim, pos, keep, keep)
+    losses["loss_reid"] = contrastive_loss(
+        sim, pos, keep, keep, rng=jax.random.fold_in(rng, 101)
+    )
     nrm = flat / jnp.maximum(jnp.linalg.norm(flat, axis=-1, keepdims=True), 1e-12)
     losses["loss_reid_aux"] = contrastive_aux_loss(nrm @ nrm.T, pos, keep, keep)
     return losses
@@ -565,6 +595,7 @@ def loss_l2v_attn_weights(
 
 
 def _loss_reid_l2p(
+    rng: jax.Array,
     pred_embds_l: jnp.ndarray,  # [B, Ql, T, C]
     match: jnp.ndarray,  # [B, N] learnable match (query per target)
     pred_embds_p: jnp.ndarray,  # [B, Qp, T, C]
@@ -589,7 +620,7 @@ def _loss_reid_l2p(
 
     sim = src @ prm.T / math.sqrt(C)
     pos = ((ids_l[:, None] == ids_p[None]) & (vids_l[:, None] == vids_p[None])).astype(jnp.float32)
-    loss = contrastive_loss(sim, pos, keep_l, keep_p)
+    loss = contrastive_loss(sim, pos, keep_l, keep_p, rng=jax.random.fold_in(rng, 103))
     nl = src / jnp.maximum(jnp.linalg.norm(src, axis=-1, keepdims=True), 1e-12)
     np_ = prm / jnp.maximum(jnp.linalg.norm(prm, axis=-1, keepdims=True), 1e-12)
     loss_aux = contrastive_aux_loss(nl @ np_.T, pos, keep_l, keep_p)
@@ -680,6 +711,7 @@ class UniCriterion:
                 if match is not None and task != "grounding":
                     merged.update(
                         _loss_reid_l2p(
+                            jax.random.fold_in(r, 555),
                             layer["pred_embds"][:, :Ql], match,
                             layer["pred_embds"][:, Ql:], targets,
                         )

@@ -108,6 +108,12 @@ class UniVSDecoder(nn.Module):
     num_max_frames: int = 128
     l4p_fusion: bool = True
     temporal_query_shuffle: bool = True
+    # training-time rematerialization of the prediction heads: recompute
+    # each supervision point's full-res mask logits in backward instead
+    # of keeping 10 x [B, Q, T, H/4, W/4] alive (HBM budget for 1024^2
+    # Swin inputs; reference's analogue is Swin USE_CHECKPOINT,
+    # univs/config.py:63 — the heads are the decoder-side equivalent)
+    remat_heads: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -424,11 +430,22 @@ class UniVSDecoder(nn.Module):
             for (h, w) in sizes
         ]
 
+        def heads(out_tokens, mfs, need_outputs):
+            if self.remat_heads and train:
+                fn = nn.remat(
+                    lambda mdl, o, mf, ms, ce, es: mdl._prediction_heads(
+                        o, mf, ms, task, ce, es, b, t, train,
+                        need_outputs=need_outputs,
+                    )
+                )
+                return fn(self, out_tokens, mask_features, mfs, cls_emb, exp_sentence)
+            return self._prediction_heads(
+                out_tokens, mask_features, mfs, task, cls_emb, exp_sentence,
+                b, t, train, need_outputs=need_outputs,
+            )
+
         # --- initial predictions --------------------------------------
-        logits, masks, embds_raw, attn_bias = self._prediction_heads(
-            output, mask_features, mf_small[0], task, cls_emb, exp_sentence, b, t, train,
-            need_outputs=train,
-        )
+        logits, masks, embds_raw, attn_bias = heads(output, mf_small[0], train)
         all_preds: List[Tuple] = [(logits, masks, embds_raw)]
 
         self_bias = build_self_attn_bias(self.num_queries, Qp, t, self.self_attn_mask_type, task)
@@ -453,10 +470,8 @@ class UniVSDecoder(nn.Module):
             output = self.ffn_layers[i](output)
 
             final = i == self.num_layers - 1
-            logits, masks, embds_raw, attn_bias = self._prediction_heads(
-                output, mask_features, mf_small[(i + 1) % self.num_feature_levels],
-                task, cls_emb, exp_sentence, b, t, train,
-                need_outputs=train or final,
+            logits, masks, embds_raw, attn_bias = heads(
+                output, mf_small[(i + 1) % self.num_feature_levels], train or final,
             )
             all_preds.append((logits, masks, embds_raw))
 

@@ -52,6 +52,7 @@ def build_decoder(cfg: UniVSConfig, name=None) -> UniVSDecoder:
         mask_dim=c.mask_dim, text_emb_dim=c.clip_cls_emb_dim,
         self_attn_mask_type=c.self_attn_mask_type, num_max_frames=c.num_max_frames,
         l4p_fusion=c.l4p_fusion, temporal_query_shuffle=c.temporal_query_shuffle,
+        remat_heads=c.remat_heads,
         dtype=compute_dtype_of(cfg), name=name,
     )
 
