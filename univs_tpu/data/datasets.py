@@ -32,6 +32,30 @@ class DatasetSpec:
     has_expression: bool = False
     sot: bool = False
 
+    @property
+    def thing_ids(self):
+        """1-based thing category ids for panoptic datasets."""
+        return THING_IDS_BY_NAMESPACE.get(self.namespace, None)
+
+
+# thing/stuff split for panoptic namespaces (reference:
+# univs/data/datasets/vps.py VIPSEG_CATEGORIES isthing==1 — 58 of 124)
+THING_IDS_BY_NAMESPACE = {
+    "vipseg": frozenset({
+        3, 5, 9, 11, 42, 44, 45, 47, 48, 49, 50, 51, 52, 53, 55, 56, 57,
+        61, 62, 63, 64, 65, 66, 73, 75, 77, 78, 79, 80, 83, 84, 85, 86,
+        87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 100, 101, 102, 103, 107,
+        108, 109, 110, 115, 116, 117, 118, 119, 123, 124,
+    }),
+    # viposeg shares the VIPSeg category space
+    "viposeg": frozenset({
+        3, 5, 9, 11, 42, 44, 45, 47, 48, 49, 50, 51, 52, 53, 55, 56, 57,
+        61, 62, 63, 64, 65, 66, 73, 75, 77, 78, 79, 80, 83, 84, 85, 86,
+        87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 100, 101, 102, 103, 107,
+        108, 109, 110, 115, 116, 117, 118, 119, 123, 124,
+    }),
+}
+
 
 _CATALOG: Dict[str, DatasetSpec] = {}
 

@@ -51,7 +51,8 @@ def evaluate_dataset(
     if spec.evaluator_type == "vss":
         return _eval_vss(cfg, params, records, mapper, cls_bank)
     if spec.evaluator_type == "vps":
-        return _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids=set())
+        return _eval_vps(cfg, params, records, mapper, cls_bank,
+                         thing_ids=set(spec.thing_ids or ()))
     raise NotImplementedError(f"evaluator {spec.evaluator_type} for {dataset_name}")
 
 

@@ -232,11 +232,13 @@ def _tent_block_size(DH: int) -> int:
     return 512
 
 
-def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, dtype):
+def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, P: int, dtype):
     DH = D * H
+    BQ = bq // P  # output rows (queries) per block; input rows are (q, p)
 
     def kernel(x_ref, y_ref, wa_ref, v_ref, o_ref):
         # x/y/wa: [1, bq, M] pixel coords + attention weight per row
+        # (rows are point-minor: row = q*P + p)
         # v: [1, M, W, D*H] (x contracted first; lanes are d-major, j-minor)
         xio = jax.lax.broadcasted_iota(jnp.int32, (bq, W), 1).astype(jnp.float32)
         # y tent built tiled directly: lane l of the [bq, D*H] plane is
@@ -248,6 +250,11 @@ def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, dtype):
         g_rows = jax.lax.broadcasted_iota(jnp.int32, (DH, D), 0)
         g_cols = jax.lax.broadcasted_iota(jnp.int32, (DH, D), 1)
         G = (g_rows // H == g_cols).astype(dtype)
+        # point-sum matrix Gp[q, (q', p)] = (q == q'): sums the P
+        # sampling points of each query, also on the MXU
+        gp_rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, bq), 0)
+        gp_cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, bq), 1)
+        Gp = (gp_rows == gp_cols // P).astype(dtype)
         for m in range(M):
             x = x_ref[0, :, m][:, None]  # [bq, 1]
             y = y_ref[0, :, m][:, None]
@@ -260,17 +267,21 @@ def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, dtype):
             )  # [bq, D*H] (f32 MXU accumulate)
             my_tile = jnp.maximum(1.0 - jnp.abs(jio - y), 0.0) * wa  # [bq, D*H] f32
             p2 = (my_tile * t1).astype(dtype)
-            o_ref[0, :, m] = jnp.dot(p2, G, preferred_element_type=jnp.float32)
+            per_row = jnp.dot(p2, G, preferred_element_type=jnp.float32)  # [bq, D]
+            o_ref[0, :, m] = jnp.dot(
+                Gp, per_row.astype(dtype), preferred_element_type=jnp.float32
+            )  # [BQ, D]
 
     return kernel
 
 
-def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, *, interpret=False):
-    """One level's bilinear samples.
+def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, P: int, *, interpret=False):
+    """One level's attention-weighted, point-summed bilinear samples.
 
     slab_xmajor [N, M, W, D*H] (element (x; d, j) = V[j, x, d]);
-    xs/ys/was [N, R, M] pixel coords + attention weights per sample row.
-    Returns [N, R, M, D] f32 attention-weighted samples.
+    xs/ys/was [N, R, M] pixel coords + attention weights per sample row,
+    rows point-minor (row = q*P + p).
+    Returns [N, R//P, M, D] f32: sum over each query's P points.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -279,6 +290,8 @@ def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, *, interpret=False):
     _, R, _ = xs.shape
     H = DH // D
     bq = _tent_block_size(DH)
+    bq = max(P, (bq // P) * P)  # block must hold whole queries
+    assert R % P == 0
     pad = (-R) % bq
     if pad:
         # padded rows get far-outside coords -> zero tents -> zero output
@@ -287,8 +300,8 @@ def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, *, interpret=False):
         was = jnp.concatenate([was, jnp.zeros((n, pad, m), was.dtype)], axis=1)
     Rp = R + pad
     out = pl.pallas_call(
-        _tent_kernel(H, W, bq, m, D, slab_xmajor.dtype),
-        out_shape=jax.ShapeDtypeStruct((n, Rp, m, D), jnp.float32),
+        _tent_kernel(H, W, bq, m, D, P, slab_xmajor.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, Rp // P, m, D), jnp.float32),
         grid=(n, Rp // bq),
         in_specs=[
             pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
@@ -297,12 +310,12 @@ def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, *, interpret=False):
             pl.BlockSpec((1, m, W, DH), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bq, m, D), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
+            (1, bq // P, m, D), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(xs, ys, was, slab_xmajor)
-    return out[:, :R]
+    return out[:, : R // P]
 
 
 def ms_deform_attn_tent(
@@ -332,8 +345,8 @@ def ms_deform_attn_tent(
         x = (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
         y = (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
         was = wa.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
-        o = _msda_tent_level(slab, x, y, was, D, interpret=interpret)  # [N, R, M, D]
-        out = out + o.reshape(N, Lq, P, M, D).sum(axis=2)
+        o = _msda_tent_level(slab, x, y, was, D, P, interpret=interpret)  # [N, Lq, M, D]
+        out = out + o
     return out.reshape(N, Lq, M * D).astype(value.dtype)
 
 
