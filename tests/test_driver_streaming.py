@@ -46,9 +46,9 @@ def _stub_encode(window_len, mask_hw, C):
 def _spy_emit(driver, records):
     orig = driver._emit_fn
 
-    def emit(pool, out_frames):
-        out = orig(pool, out_frames)
-        records.append(np.asarray(out[0], np.float32))
+    def emit(pool, out_frames, *args):
+        out = orig(pool, out_frames, *args)
+        records.append(np.asarray(out[0], np.float32))  # divided masks
         return out
 
     driver._emit_fn = emit

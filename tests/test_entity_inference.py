@@ -57,10 +57,14 @@ def test_two_clip_steps(setup):
     )
     mf, _, _, ms = modules[0].apply({"params": params["pixel_decoder"]}, bb)
     feats = (mf, tuple(ms))
-    # NOTE: params/feats are jit ARGS, not closure constants — closing
-    # over param pytrees triggers a jax-0.9 constant-interning bug that
-    # corrupts buffer accounting of later jits reusing the same arrays
-    # as arguments ("Execution supplied N buffers but ... expected M").
+    # This test doubles as a regression probe for the tracer-leak class
+    # of "Execution supplied N buffers but compiled program expected M"
+    # failures: a module-level `jnp.float32(...)` constant created while
+    # the module was first imported INSIDE another trace (hungarian.py's
+    # old _INF) leaked that trace's tracer into every later jaxpr's
+    # constants, and the SECOND dispatch of any overlapping jit died.
+    # Two separate dispatches of this step after the engine tests ran
+    # reproduce that history.
     step = jax.jit(
         lambda params, feats, pool, fi, off, first, cls_emb: entity_clip_step(
             modules, params, feats, pool, fi, off, first, cls_emb, cc

@@ -131,6 +131,7 @@ class InferenceConfig:
     newly_entity_thres: float = 0.1
     consistency_thres: Tuple[float, float] = (0.25, 0.5)
     nms_thres: float = 0.85
+    overlap_threshold: float = 0.8  # panoptic area-ratio filter (Base.yaml:62)
     max_num_instances: int = 60
     topk_per_video: int = 25
     semantic_extraction_enable: bool = False

@@ -36,8 +36,11 @@ _DRIVER_JIT_MEMO: Dict = {}
 
 
 def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
-    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
-    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+    # numpy (not device) constants: closing device arrays into a jit
+    # triggers the jax-0.9 constant-interning corruption (see the
+    # _DRIVER_JIT_MEMO note and tests/test_entity_inference.py)
+    mean = np.asarray(cfg.pixel_mean, np.float32)
+    std = np.asarray(cfg.pixel_std, np.float32)
 
     @jax.jit
     def encode_window_fn(params, frames):
@@ -64,14 +67,26 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
 
     @functools.partial(jax.jit, static_argnames=("out_frames",))
     def emit_fn(pool, out_frames: int):
-        masks = pool.mask_logits[:, :out_frames]
+        # one executable for both consumers (a static `divide` flag
+        # would create a second executable of the same shape, which
+        # trips the preloaded PJRT plugin's buffer-accounting bug —
+        # see the _DRIVER_JIT_MEMO note)
+        raw = pool.mask_logits[:, :out_frames]
+        # VIS emission normalizes by occurrence (save_results_vis:931);
+        # VPS uses the raw accumulated logits (save_results_vps:984 —
+        # the division there is commented out in the reference)
         occ = jnp.maximum(pool.occurrence[:, :out_frames], 1.0)
-        masks = masks / occ[:, :, None, None]
+        divided = raw / occ[:, :, None, None]
         # per-window class-score snapshot: the logits-history mean at
         # emission time (reference: save_results_vis
         # inference_video_entity.py:926 targets["logits"].mean(1))
         scores = pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None]
-        return masks.astype(jnp.float16), scores, mp.evict_window(pool, out_frames)
+        # NOTE: materialize a copy of `valid` — returning an input leaf
+        # unchanged makes an input-aliased output, which corrupts the
+        # preloaded PJRT plugin's buffer accounting for later dispatches
+        valid_snapshot = jnp.logical_or(pool.valid, False)
+        return (divided.astype(jnp.float16), raw.astype(jnp.float16),
+                scores, valid_snapshot, mp.evict_window(pool, out_frames))
 
     return encode_window_fn, clip_fn, shift_fn, emit_fn
 
@@ -80,8 +95,8 @@ def _build_vos_fns(cfg, backbone, modules, cc, stride, dtype, query_mode):
     from univs_tpu.inference.vos import inject_gt_first_appearance, vos_clip_step
     from univs_tpu.structures import TextPrompts
 
-    mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
-    std = jnp.asarray(cfg.pixel_std, jnp.float32)
+    mean = np.asarray(cfg.pixel_mean, np.float32)
+    std = np.asarray(cfg.pixel_std, np.float32)
 
     @jax.jit
     def encode_window_fn(params, frames):
@@ -171,15 +186,11 @@ class EntityDriver:
 
     # ------------------------------------------------------------------
 
-    def run_vis(self, frames: np.ndarray, cls_emb: jnp.ndarray,
-                image_size=None, out_size=None) -> List[Dict]:
-        """frames: [V, H, W, 3] raw RGB (padded to divisibility).
-        Returns per-entity dicts with per-frame RLEs + class scores
-        matching the reference's results_list contract
-        (inference_video_entity.py:914-961)."""
+    def _stream(self, frames: np.ndarray, cls_emb: jnp.ndarray, divide: bool):
+        """Run the clip loop over one video; returns
+        (emitted mask windows, window starts, score snapshots,
+        valid snapshots, final pool)."""
         V, H, W = frames.shape[:3]
-        image_size = image_size or (H, W)
-        out_size = out_size or image_size
         mask_hw = (H // 4, W // 4)
 
         pool = mp.create_entity_memory(
@@ -196,6 +207,7 @@ class EntityDriver:
         emitted: List[np.ndarray] = []
         emit_starts: List[int] = []
         emit_scores: List[np.ndarray] = []  # [E, K] snapshot per window
+        emit_valids: List[np.ndarray] = []
         emitted_total = 0
 
         is_last = False
@@ -203,7 +215,6 @@ class EntityDriver:
         first = True
         while i < V and not is_last:
             is_last = i + self.T >= V
-            clip_end = min(i + self.T, V)
             clip_idx = np.arange(i, i + self.T)
             clip_idx = np.minimum(clip_idx, V - 1)  # clamp tail (repeat last)
 
@@ -232,9 +243,10 @@ class EntityDriver:
                 # overlap frames stay in the pool and keep accumulating
                 # (reference drops only num_frames_window_output frames:
                 # inference_video_entity.py mask_logits[:, n_out:])
-                masks, win_scores, pool = self._emit_fn(pool, n_out)
-                emitted.append(np.asarray(masks))
+                masks_div, masks_raw, win_scores, win_valid, pool = self._emit_fn(pool, n_out)
+                emitted.append(np.asarray(masks_div if divide else masks_raw))
                 emit_scores.append(np.asarray(win_scores))
+                emit_valids.append(np.asarray(win_valid))
                 emit_starts.append(emitted_total)
                 emitted_total += n_out
                 if is_last and emitted_total >= V:
@@ -243,6 +255,21 @@ class EntityDriver:
             if not is_last:
                 pool = self._shift_fn(pool)
             i += self.stride
+        return emitted, emit_starts, emit_scores, emit_valids, pool
+
+    def run_vis(self, frames: np.ndarray, cls_emb: jnp.ndarray,
+                image_size=None, out_size=None) -> List[Dict]:
+        """frames: [V, H, W, 3] raw RGB (padded to divisibility).
+        Returns per-entity dicts with per-frame RLEs + class scores
+        matching the reference's results_list contract
+        (inference_video_entity.py:914-961)."""
+        V, H, W = frames.shape[:3]
+        image_size = image_size or (H, W)
+        out_size = out_size or image_size
+
+        emitted, emit_starts, emit_scores, _, pool = self._stream(
+            frames, cls_emb, divide=True
+        )
 
         # assemble per-entity results
         valid = np.asarray(pool.valid)
@@ -305,7 +332,7 @@ class EntityDriver:
         ih, iw = image_size
 
         @jax.jit
-        def vss_clip(params, encoded, frame_indices):
+        def vss_clip(params, encoded, frame_indices, cls_emb):
             # frame_indices length Tc specializes the tail clip
             mask_features, ms = encoded
             out = dec.apply(
@@ -326,7 +353,7 @@ class EntityDriver:
                 mf_w, ms_w = encoded
                 encoded = (mf_w[:Tc], tuple(m[:Tc] for m in ms_w))
             sem = np.asarray(
-                vss_clip(self.params, encoded, jnp.asarray(clip_idx[:Tc]))
+                vss_clip(self.params, encoded, jnp.asarray(clip_idx[:Tc]), cls_emb)
             )
             up = _resize_labels_nearest(sem, out_size)
             for k in range(Tc):
@@ -336,55 +363,131 @@ class EntityDriver:
 
     def run_vps(self, frames: np.ndarray, cls_emb: jnp.ndarray,
                 thing_class_ids, image_size=None, out_size=None):
-        """VPS: entity tracking + per-frame panoptic stitching
-        (reference: save_results_vps — inference_video_entity.py:963-1094:
-        weighted argmax over tracked entities, thing/stuff segment-id
-        memory, overlap filtering).
+        """VPS: entity tracking + per-window panoptic stitching — exact
+        transcription of ``save_results_vps``
+        (reference: inference_video_entity.py:963-1094):
+
+        raw accumulated mask logits (no occurrence division), per-window
+        score = history-mean class logits max x mask quality, 0.75
+        discount for stuff entities not yet registered as things,
+        per-pixel argmax over score-weighted LOGITS, bg where every
+        sigmoid < 0.5, per-entity area-ratio filter
+        (mask_area/original_area >= overlap_threshold for things, halved
+        once the thing is already tracked), stuff merged by class with
+        persistent segment-id memories.
         Returns (panoptic [V, out_h, out_w] int32 segment ids,
                  segments_info list)."""
         V, H, W = frames.shape[:3]
         image_size = image_size or (H, W)
         out_size = out_size or image_size
-        thing_ids = set(int(t) for t in thing_class_ids)
+        thing_ids = set(int(t) for t in thing_class_ids)  # 1-based
+        overlap_thr = self.cfg.inference.overlap_threshold
 
-        # reuse the VIS entity pipeline to build the tracked pool + windows
-        results = self.run_vis(frames, cls_emb, image_size=image_size, out_size=out_size)
+        emitted, emit_starts, emit_scores, emit_valids, pool = self._stream(
+            frames, cls_emb, divide=False
+        )
 
         panoptic = np.zeros((V, *out_size), np.int32)
-        thing_memory, stuff_memory = {}, {}
-        segments_info = []
-        current_id = 0
-        # score per entity
-        ent = []
-        for r in results:
-            scores = np.asarray(r["score"])
-            cls = int(scores.argmax())
-            ent.append((r["obj_id"], cls, float(scores.max()), r["segmentations"]))
-        for t in range(V):
-            # paint in descending score order; first writer wins per pixel
-            order = sorted(range(len(ent)), key=lambda k: -ent[k][2] * (0.75 if (ent[k][1] + 1) not in thing_ids else 1.0))
-            taken = np.zeros(out_size, bool)
-            for k in order:
-                obj_id, cls, sc, segs = ent[k]
-                m = rle.decode(segs[t]).astype(bool)
-                m = m & ~taken
-                if m.sum() == 0:
+        thing_memory: Dict[int, int] = {}
+        stuff_memory: Dict[int, int] = {}
+        final_scores = None
+
+        for win_masks, start, win_scores, win_valid in zip(
+            emitted, emit_starts, emit_scores, emit_valids
+        ):
+            final_scores = win_scores
+            n = min(win_masks.shape[1], V - start)
+            valid_idx = np.nonzero(win_valid)[0]
+            if len(valid_idx) == 0 or n <= 0:
+                continue
+            E = len(valid_idx)
+            cls_scores = win_scores[valid_idx]  # [E, K] history mean
+            cur_scores_cls = cls_scores.max(-1)
+            cur_classes = cls_scores.argmax(-1) + 1  # 1-based
+
+            def up(t):  # [E, out_h, out_w] raw accumulated logits
+                return _upsample_logits(
+                    win_masks[valid_idx, t], image_size, out_size, (H, W)
+                )
+
+            # pass 1: per-entity quality over the WHOLE window (:998)
+            q_pos = np.zeros(E)
+            q_tot = np.zeros(E)
+            ups = {}
+            for t in range(n):
+                lg = up(t)
+                ups[t] = lg if n <= 8 else None  # cache small windows
+                q_pos += (lg > 1).reshape(E, -1).sum(-1)
+                q_tot += (lg > -1).reshape(E, -1).sum(-1)
+            qual = q_pos / np.maximum(q_tot, 1)
+            scores = cur_scores_cls * qual
+            for j, e in enumerate(valid_idx):
+                if int(cur_classes[j]) not in thing_ids and int(e) not in thing_memory:
+                    scores[j] *= 0.75  # thing priority (:1000-1001)
+
+            # pass 2: per-pixel argmax (winning entity where its own
+            # sigmoid >= 0.5) + WINDOW-level area accumulation
+            mask_ids_w = np.full((n, *out_size), -1, np.int16)
+            winner_on = np.zeros((n, *out_size), bool)  # winner's sig >= 0.5
+            mask_area = np.zeros(E, np.int64)
+            original_area = np.zeros(E, np.int64)
+            painted_count = np.zeros(E, np.int64)
+            for t in range(n):
+                lg = ups[t] if ups.get(t) is not None else up(t)
+                sig = 1.0 / (1.0 + np.exp(-lg))
+                prob = scores[:, None, None] * lg
+                ids_t = prob.argmax(0).astype(np.int16)
+                is_bg = (sig < 0.5).sum(0) == E
+                ids_t[is_bg] = -1
+                mask_ids_w[t] = ids_t
+                win_sig = np.take_along_axis(sig, np.maximum(ids_t, 0)[None], 0)[0]
+                winner_on[t] = (ids_t >= 0) & (win_sig >= 0.5)
+                for j in range(E):
+                    sel = ids_t == j
+                    mask_area[j] += int(sel.sum())
+                    original_area[j] += int((sig[j] >= 0.5).sum())
+                    painted_count[j] += int((sel & winner_on[t]).sum())
+
+            # pass 3: register segment ids in entity order (reference
+            # iterates k ascending; pixels are disjoint so paint order
+            # does not matter, only id allocation order does)
+            seg_table = np.zeros(E + 1, np.int32)  # index -1 -> last -> 0
+            for j, e in enumerate(valid_idx):
+                pred_class = int(cur_classes[j])
+                isthing = pred_class in thing_ids
+                if mask_area[j] == 0 or original_area[j] == 0 or painted_count[j] == 0:
                     continue
-                isthing = (cls + 1) in thing_ids
-                if isthing:
-                    if obj_id not in thing_memory:
-                        current_id += 1
-                        thing_memory[obj_id] = current_id
-                        segments_info.append({"id": current_id, "isthing": True, "category_id": cls + 1})
-                    seg_id = thing_memory[obj_id]
+                thr = 0.5 * overlap_thr if int(e) in thing_memory else overlap_thr
+                if isthing and mask_area[j] / original_area[j] < thr:
+                    continue
+                if not isthing:
+                    if pred_class not in stuff_memory:
+                        stuff_memory[pred_class] = (
+                            max(list(thing_memory.values()) + list(stuff_memory.values()), default=0) + 1
+                        )
+                    seg_table[j] = stuff_memory[pred_class]
                 else:
-                    if cls not in stuff_memory:
-                        current_id += 1
-                        stuff_memory[cls] = current_id
-                        segments_info.append({"id": current_id, "isthing": False, "category_id": cls + 1})
-                    seg_id = stuff_memory[cls]
-                panoptic[t][m] = seg_id
-                taken |= m
+                    if int(e) not in thing_memory:
+                        thing_memory[int(e)] = (
+                            max(list(thing_memory.values()) + list(stuff_memory.values()), default=0) + 1
+                        )
+                    seg_table[j] = thing_memory[int(e)]
+
+            for t in range(n):
+                lab = seg_table[mask_ids_w[t]]
+                panoptic[start + t] = np.where(winner_on[t], lab, 0)
+
+        # segments_infos from the memory dicts + final class snapshot
+        # (reference: vps_output_results)
+        segments_info = []
+        cls_final = (
+            final_scores.argmax(-1) + 1 if final_scores is not None else None
+        )
+        for obj_id, seg_id in thing_memory.items():
+            c = int(cls_final[obj_id]) if cls_final is not None else 0
+            segments_info.append({"id": seg_id, "isthing": c in thing_ids, "category_id": c})
+        for stuff_class, seg_id in stuff_memory.items():
+            segments_info.append({"id": seg_id, "isthing": False, "category_id": int(stuff_class)})
         return panoptic, segments_info
 
 

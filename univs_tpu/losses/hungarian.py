@@ -21,7 +21,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(1e12)
+# plain python float, NOT jnp.float32: this module is sometimes first
+# imported from inside a traced function (memory_pool.py/vos.py defer
+# the import), and a module-level `jnp.float32(...)` executed under an
+# active trace becomes a leaked tracer pinned in the module globals —
+# every later trace then captures it as a foreign constant and dies at
+# dispatch with "Execution supplied N buffers but compiled program
+# expected M".
+_INF = 1e12
 
 
 def hungarian(cost: jnp.ndarray, row_valid: jnp.ndarray | None = None) -> jnp.ndarray:
