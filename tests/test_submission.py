@@ -73,3 +73,42 @@ def test_rvos_submission_tree_and_zip(tmp_path):
         f"Annotations/0062a9/{e}/{f.replace('.jpg', '.png')}"
         for e in ("0", "1") for f in files
     }
+
+
+def test_vps_submission_layout(tmp_path):
+    from univs_tpu.evaluation.submission import (
+        emit_vps_submission,
+        id2rgb,
+        write_vps_pred_json,
+    )
+
+    out = str(tmp_path)
+    pan = np.zeros((2, 10, 12), np.int32)
+    pan[0, 2:5, 3:8] = 1
+    pan[:, 6:9, 1:5] = 2
+    segs = [
+        {"id": 1, "isthing": True, "category_id": 3},
+        {"id": 2, "isthing": False, "category_id": 7},
+    ]
+    rec = emit_vps_submission(out, "vid01", ["f0.jpg", "f1.jpg"], pan, segs)
+    assert rec["video_id"] == "vid01"
+    assert len(rec["annotations"]) == 2
+    # frame 0 has both segments, frame 1 only the stuff one
+    a0 = rec["annotations"][0]["segments_info"]
+    a1 = rec["annotations"][1]["segments_info"]
+    assert {d["id"] for d in a0} == {1, 2}
+    assert {d["id"] for d in a1} == {2}
+    assert a0[0]["category_id"] in (2, 6)  # 0-based in the json
+
+    # png colors encode the segment id (rgb2id convention)
+    img = np.asarray(Image.open(os.path.join(out, "pan_pred", "vid01", "f0.png")))
+    rgb = tuple(img[3, 4])
+    assert rgb == id2rgb(1)
+    assert tuple(img[7, 2]) == id2rgb(2)
+    assert tuple(img[0, 0]) == (0, 0, 0)
+
+    path = write_vps_pred_json(out, [rec])
+    import json
+    with open(path) as f:
+        j = json.load(f)
+    assert j["annotations"][0]["video_id"] == "vid01"

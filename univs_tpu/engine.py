@@ -52,7 +52,7 @@ def evaluate_dataset(
         return _eval_vss(cfg, params, records, mapper, cls_bank)
     if spec.evaluator_type == "vps":
         return _eval_vps(cfg, params, records, mapper, cls_bank,
-                         thing_ids=set(spec.thing_ids or ()))
+                         thing_ids=set(spec.thing_ids or ()), output_dir=output_dir)
     raise NotImplementedError(f"evaluator {spec.evaluator_type} for {dataset_name}")
 
 
@@ -138,7 +138,7 @@ def _eval_vss(cfg, params, records, mapper, cls_bank):
             "fps": total_frames / max(time.time() - t0, 1e-6)}
 
 
-def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids):
+def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids, output_dir=None):
     from univs_tpu.evaluation.stq import STQAccumulator
     from univs_tpu.evaluation.vpq import vpq_single_video
 
@@ -148,6 +148,7 @@ def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids):
     K = cls_bank.shape[0]
     stq = STQAccumulator(K, things=thing_ids or set(range(K)))
     vpqs = []
+    vps_records = []
     t0, total_frames = time.time(), 0
     for rec in records:
         s = mapper(rec)
@@ -155,6 +156,15 @@ def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids):
             s["images"], cls_emb, thing_class_ids=(thing_ids or set(range(1, K + 1))),
             image_size=s["image_size"], out_size=s["out_size"],
         )
+        if output_dir:
+            # VIPSeg evaluator input layout (vps_evaluation.py:118-199)
+            from univs_tpu.evaluation.submission import emit_vps_submission
+
+            vps_records.append(emit_vps_submission(
+                output_dir, rec.get("video_name", str(rec["video_id"])),
+                rec.get("file_names") or [f"{t:05d}.jpg" for t in range(pan.shape[0])],
+                pan, seg_info,
+            ))
         gt_lab, gt_cats = _gt_label_maps(rec, sem=False)
         pr_cats = {si["id"]: si["category_id"] - 1 for si in seg_info}
         spans = tuple(k for k in (1, 2, 4, 6) if k <= rec["length"])
@@ -164,6 +174,10 @@ def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids):
             pr_cls = np.vectorize(lambda i: pr_cats.get(i, 0))(pan[t]).astype(np.int64)
             stq.update(rec["video_id"], gt_cls, gt_lab[t], pr_cls, pan[t])
         total_frames += s["video_len"]
+    if output_dir and vps_records:
+        from univs_tpu.evaluation.submission import write_vps_pred_json
+
+        write_vps_pred_json(output_dir, vps_records)
     out = {"VPQ": float(np.mean(vpqs))}
     out.update(stq.result())
     out["fps"] = total_frames / max(time.time() - t0, 1e-6)

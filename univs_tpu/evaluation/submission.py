@@ -82,6 +82,78 @@ def emit_rvos_submission(
     return root
 
 
+def id2rgb(seg_id: int):
+    """panopticapi id encoding: id = R + G*256 + B*256^2."""
+    return (seg_id % 256, (seg_id // 256) % 256, (seg_id // 256 // 256) % 256)
+
+
+def emit_vps_submission(
+    output_dir: str,
+    video_id: str,
+    file_names: Sequence[str],
+    panoptic: np.ndarray,  # [V, H, W] int32 segment ids (0 = void)
+    segments_info: Sequence[dict],  # [{id, isthing, category_id(1-based)}]
+) -> dict:
+    """Write the VIPSeg evaluator input layout for one video —
+    ``pan_pred/{video_id}/{frame}.png`` RGB id-encoded panoptic maps +
+    the per-video annotations dict for ``pred.json``
+    (reference: univs/evaluation/vps_evaluation.py:118-179).
+
+    Colors encode the segment id via the panopticapi id2rgb convention,
+    so ``rgb2id(png) == segments_info[..]['id']`` exactly as the VPQ/STQ
+    kernels expect.  Returns {'annotations': [...], 'video_id'} to
+    aggregate into pred.json via :func:`write_vps_pred_json`.
+    """
+    from PIL import Image
+
+    V, H, W = panoptic.shape
+    save_dir = os.path.join(output_dir, "pan_pred", str(video_id))
+    os.makedirs(save_dir, exist_ok=True)
+
+    pan_rgb = np.zeros((V, H, W, 3), np.uint8)
+    per_seg_frames = []
+    for seg in segments_info:
+        sid = int(seg["id"])
+        mask = panoptic == sid
+        pan_rgb[mask] = np.array(id2rgb(sid), np.uint8)
+        dts = []
+        base = {"category_id": int(seg["category_id"]) - 1, "iscrowd": 0, "id": sid}
+        for t in range(V):
+            ys, xs = np.nonzero(mask[t])
+            if len(ys) == 0:
+                dts.append(None)
+                continue
+            x, y = int(xs.min()), int(ys.min())
+            dts.append({
+                "bbox": [x, y, int(xs.max()) - x, int(ys.max()) - y],
+                "area": int(mask[t].sum()), **base,
+            })
+        per_seg_frames.append(dts)
+
+    annotations = []
+    for t in range(V):
+        name = os.path.basename(file_names[t]) if t < len(file_names) else f"{t:05d}.jpg"
+        Image.fromarray(pan_rgb[t]).save(
+            os.path.join(save_dir, os.path.splitext(name)[0] + ".png")
+        )
+        annotations.append({
+            "segments_info": [d[t] for d in per_seg_frames if d[t] is not None],
+            "file_name": name,
+        })
+    return {"annotations": annotations, "video_id": str(video_id)}
+
+
+def write_vps_pred_json(output_dir: str, per_video: Sequence[dict]) -> str:
+    """Aggregate per-video dicts into pred.json
+    (reference: vps_evaluation.py:196-199)."""
+    import json
+
+    path = os.path.join(output_dir, "pred.json")
+    with open(path, "w") as f:
+        json.dump({"annotations": list(per_video)}, f)
+    return path
+
+
 def zip_submission(output_dir: str, zip_name: str = "submission.zip") -> str:
     """Zip {output_dir}/inference/Annotations -> {output_dir}/{zip_name}
     with 'Annotations/...' arcnames (codalab layout)."""

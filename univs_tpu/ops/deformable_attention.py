@@ -260,12 +260,14 @@ def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, P: int, dtype):
             y = y_ref[0, :, m][:, None]
             wa = wa_ref[0, :, m][:, None]
             # tents computed in f32 (coords are large), stored in the
-            # value dtype — same weight precision as the gather path
-            mx = jnp.maximum(1.0 - jnp.abs(xio - x), 0.0).astype(dtype)  # [bq, W]
+            # value dtype — same weight precision as the gather path.
+            # the attention weight multiplies the NARROW x-tent ([bq, W])
+            # rather than the [bq, D*H] y-plane
+            mx = (jnp.maximum(1.0 - jnp.abs(xio - x), 0.0) * wa).astype(dtype)  # [bq, W]
             t1 = jnp.dot(
                 mx, v_ref[0, m], preferred_element_type=jnp.float32
             )  # [bq, D*H] (f32 MXU accumulate)
-            my_tile = jnp.maximum(1.0 - jnp.abs(jio - y), 0.0) * wa  # [bq, D*H] f32
+            my_tile = jnp.maximum(1.0 - jnp.abs(jio - y), 0.0)  # [bq, D*H] f32
             p2 = (my_tile * t1).astype(dtype)
             per_row = jnp.dot(p2, G, preferred_element_type=jnp.float32)  # [bq, D]
             o_ref[0, :, m] = jnp.dot(
