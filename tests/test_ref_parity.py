@@ -218,3 +218,88 @@ def test_decoder_activation_parity_detection(ref_decoder):
     assert d_log < TOL, f"pred_logits diff {d_log}"
     assert d_msk < 10 * TOL, f"pred_masks diff {d_msk}"
     assert d_emb < TOL, f"pred_embds diff {d_emb}"
+
+
+def test_decoder_activation_parity_grounding(ref_decoder):
+    """Grounding path: [sentence; 77-word] prompt stacks, l2v cross-attn,
+    per-expression self-attn blocks, inference-time l4p mask fusion
+    (decoder_univs.py:697-758, 536-551)."""
+    from univs_tpu.models.decoder import UniVSDecoder
+    from univs_tpu.structures import TextPrompts
+
+    ref, bank = ref_decoder
+    x, mask_features, frame_indices = _decoder_inputs(seed=11)
+    Qe, Lw = 2, 77
+    torch.manual_seed(12)
+    exp_word = torch.randn(Qe, Lw, T, DT)
+    exp_sent = torch.randn(Qe, T, DT)
+    targets = [
+        {
+            "task": "grounding",
+            "dataset_name": "refytvos",  # not in category info: grounding skips it
+            "prompt_type": "text",
+            "frame_indices": frame_indices,
+            "exp_word_feats": exp_word,
+            "exp_sentence_feats": exp_sent,
+            "exp_word_len": Lw,
+        }
+    ]
+    with torch.no_grad():
+        out_ref = ref(
+            [xi.clone() for xi in x],
+            mask_features.clone(),
+            mask_features_bfe_conv=mask_features.clone(),
+            mask=None,
+            targets=targets,
+        )
+
+    sd = _sd_numpy(ref, "sem_seg_head.predictor.")
+    params = convert_decoder(sd, num_layers=LAYERS)
+    ours = UniVSDecoder(
+        hidden_dim=C, num_queries=QL, num_layers=LAYERS, num_heads=8,
+        ffn_dim=128, pre_norm=False, mask_dim=C, text_emb_dim=DT,
+        self_attn_mask_type="sep",
+    )
+    x_j = [jnp.asarray(xi.numpy().transpose(0, 2, 3, 1)) for xi in x]
+    mf_j = jnp.asarray(mask_features.numpy().transpose(0, 2, 3, 1))
+    fi_j = jnp.asarray(frame_indices.numpy())[None]
+    # [sentence; words] stacks, L = 1 + 77 (text feats are per-frame
+    # constant in our stack; the reference tiles them per frame — feed
+    # frame-0 features and assert the reference's are frame-constant)
+    embs = np.concatenate(
+        [exp_sent.numpy()[:, None, 0], exp_word.numpy()[:, :, 0]], axis=1
+    )  # [Qe, 1+77, DT]
+    tp = TextPrompts(
+        embs=jnp.asarray(embs)[None],
+        valid=jnp.ones((1, Qe), bool),
+        word_valid=jnp.ones((1, Qe, 1 + Lw), bool),
+    )
+    out = ours.apply(
+        {"params": params}, x_j, mf_j, fi_j,
+        task="grounding", text_prompts=tp, cls_emb=None,
+    )
+
+    # NOTE: the reference tiles per-frame text features; ours broadcast
+    # frame-0 — only valid if the fixture is frame-constant, so make it:
+    assert not torch.allclose(exp_word[:, :, 0], exp_word[:, :, 1]) or T == 1
+
+    # rebuild the reference run with frame-constant features for parity
+    exp_word_c = exp_word[:, :, :1].repeat(1, 1, T, 1)
+    exp_sent_c = exp_sent[:, :1].repeat(1, T, 1)
+    targets[0]["exp_word_feats"] = exp_word_c
+    targets[0]["exp_sentence_feats"] = exp_sent_c
+    with torch.no_grad():
+        out_ref = ref(
+            [xi.clone() for xi in x],
+            mask_features.clone(),
+            mask_features_bfe_conv=mask_features.clone(),
+            mask=None,
+            targets=targets,
+        )
+
+    d_log = float(np.abs(np.asarray(out["pred_logits"]) - out_ref["pred_logits"].numpy()).max())
+    d_msk = float(np.abs(np.asarray(out["pred_masks"]) - out_ref["pred_masks"].numpy()).max())
+    d_emb = float(np.abs(np.asarray(out["pred_embds"]) - out_ref["pred_embds"].numpy()).max())
+    assert d_log < TOL, f"grounding pred_logits diff {d_log}"
+    assert d_msk < 10 * TOL, f"grounding pred_masks diff {d_msk}"
+    assert d_emb < TOL, f"grounding pred_embds diff {d_emb}"
