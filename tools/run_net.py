@@ -165,14 +165,18 @@ def main():
         state = create_train_state(cfg.replace(train=cfg.train), params)
         step = make_train_step(cfg, model, mesh, task="detection")
         rng = jax.random.PRNGKey(args.seed)
+        from univs_tpu.utils.events import EventWriter
+
+        events = EventWriter(args.output, print_every=20)
         with mesh:
             for it in range(args.max_iter):
                 batch = next(loader)
                 state, logged = step(state, batch, rng)
-                if it % 20 == 0:
-                    print(f"iter {it}: total={float(logged['total_loss']):.4f}", flush=True)
+                if it % 20 == 0:  # fetch scalars at the log cadence only
+                    events.log(it, {k: float(v) for k, v in logged.items()})
                 if (it + 1) % 1000 == 0:
                     save_checkpoint(os.path.join(args.output, f"ckpt_{it+1}"), state.params)
+        events.close()
         save_checkpoint(os.path.join(args.output, "ckpt_final"), state.params)
         return
 
