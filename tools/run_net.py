@@ -57,11 +57,16 @@ def build_cfg(args):
 
     vq = getattr(args, "vos_queries", "prompt")
     if getattr(args, "tiny", False):
+        from univs_tpu.config import TrainConfig
+
         return tiny_test_config().replace(
             inference=InferenceConfig(num_frames=2, clip_stride=1, num_frames_window=4,
                                       min_size_test=64, apply_cls_thres=0.0, topk_per_video=5,
                                       max_num_instances=6,
                                       video_unified_inference_queries=vq),
+            # cheap criterion for smoke runs (full 12544-point sampling
+            # makes a single-core CPU train step take tens of minutes)
+            train=TrainConfig(num_points=64, oversample_ratio=2.0),
         )
     cfg = UniVSConfig(
         backbone=BackboneConfig(name=args.backbone),

@@ -91,9 +91,10 @@ def dataset_iterator(records: List[Dict], mapper: Callable, batch_size: int,
                      collate: Callable, seed: int = 0, infinite: bool = True):
     """Shuffled, skip-on-empty iterator over mapped records."""
     rng = np.random.RandomState(seed)
+    batch = []  # persists across epochs: a dataset smaller than the
+    # batch size (or with many skipped samples) must still fill batches
     while True:
         order = rng.permutation(len(records))
-        batch = []
         for i in order:
             s = mapper(records[i])
             if s is None:
