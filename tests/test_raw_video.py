@@ -33,6 +33,17 @@ def test_read_video_frames(tiny_mp4):
     some = read_video_frames(path, [1, 4, 100])
     assert len(some) == 3  # out-of-range index repeats the last frame
     np.testing.assert_array_equal(some[2], frames[-1])
+    # duplicate indices (short-video replicate-to-T in the train mapper)
+    # must be preserved in caller order, one frame per requested index
+    dup = read_video_frames(path, [0, 1, 2, 2, 2])
+    assert len(dup) == 5
+    np.testing.assert_array_equal(dup[3], dup[2])
+    np.testing.assert_array_equal(dup[4], dup[2])
+    np.testing.assert_array_equal(dup[0], frames[0])
+    # unsorted request comes back in caller order
+    rev = read_video_frames(path, [3, 0])
+    np.testing.assert_array_equal(rev[0], frames[3])
+    np.testing.assert_array_equal(rev[1], frames[0])
 
 
 def test_eval_mapper_raw_video(tiny_mp4):

@@ -20,13 +20,15 @@ def read_video_frames(
 ) -> List[np.ndarray]:
     """Decode RGB frames from a video file.
 
-    indices: sorted frame indices to keep (None = all up to max_frames).
-    Returns a list of HxWx3 uint8 arrays.  Indices beyond the end of
-    the video repeat the last decoded frame (clip-tail semantics).
+    indices: frame indices to keep, in caller order, duplicates preserved
+    (None = all up to max_frames).  Returns a list of HxWx3 uint8 arrays,
+    one per requested index.  Indices beyond the end of the video repeat
+    the last decoded frame (clip-tail semantics).
     """
     import cv2
 
-    want = None if indices is None else sorted(set(int(i) for i in indices))
+    orig = None if indices is None else [int(i) for i in indices]
+    want = None if orig is None else sorted(set(orig))
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {path}")
@@ -54,7 +56,9 @@ def read_video_frames(
         return frames
     if last is None:
         raise ValueError(f"no frames decoded from {path}")
-    return [got.get(i, last) for i in want]
+    # Caller order, duplicates preserved — short videos legitimately request
+    # e.g. [0, 1, 2, 2, 2] (replicate/clamp-to-T in the train mapper).
+    return [got.get(i, last) for i in orig]
 
 
 def video_num_frames(path: str, max_frames: int = 10000) -> int:

@@ -146,7 +146,10 @@ def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids, output_dir=None
                           capacity=cfg.inference.max_num_instances)
     cls_emb = jnp.asarray(cls_bank, jnp.float32)
     K = cls_bank.shape[0]
-    stq = STQAccumulator(K, things=thing_ids or set(range(K)))
+    # spec.thing_ids are 1-based VIPSeg category ids; the class maps fed to
+    # stq.update below are 0-based (category_id - 1), so shift here.  The
+    # driver's run_vps keeps the 1-based set (it compares against argmax+1).
+    stq = STQAccumulator(K, things={t - 1 for t in thing_ids} if thing_ids else set(range(K)))
     vpqs = []
     vps_records = []
     t0, total_frames = time.time(), 0

@@ -390,7 +390,9 @@ def ms_deform_attn(
     'tent', or 'gather'.
     """
     if impl == "auto":
-        impl = "tent" if jax.default_backend() not in ("cpu",) else "gather"
+        # The tent kernel is Mosaic/TPU-only; any other backend (cpu, gpu)
+        # takes the XLA gather formulation.
+        impl = "tent" if jax.default_backend() == "tpu" else "gather"
     if impl == "tent":
         return _msda_tent_diff(
             value, tuple(spatial_shapes), sampling_locations, attention_weights

@@ -55,6 +55,7 @@ def load_category_bank(path: Optional[str], num_rows: int, dim: int = 640,
     given, tries $UNIVS_TPU_CLS_BANK then the in-repo extraction
     artifact (tools/extract_class_embeddings.py output); falls back to
     a seeded random bank (smoke/bench mode)."""
+    explicit = bool(path)
     if not path:
         repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for cand in (
@@ -64,6 +65,15 @@ def load_category_bank(path: Optional[str], num_rows: int, dim: int = 640,
             if cand and os.path.exists(cand):
                 path = cand
                 break
+    if path and not explicit and "randinit" in os.path.basename(path):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "load_category_bank: no bank path configured — falling back to the "
+            "RANDOM-INIT artifact %s. Class scores will be degraded; set "
+            "UNIVS_TPU_CLS_BANK or cfg to a real CLIP-extracted bank for eval.",
+            path,
+        )
     if path and os.path.exists(path):
         if path.endswith(".npy"):
             bank = np.load(path)
@@ -76,6 +86,12 @@ def load_category_bank(path: Optional[str], num_rows: int, dim: int = 640,
             return bank.astype(np.float32)
         # auto-discovered artifact with a different text width (e.g.
         # tiny test configs): fall through to the seeded random bank
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "load_category_bank: using a seeded RANDOM bank (%dx%d) — smoke/bench "
+        "mode only; class scores are meaningless.", num_rows, dim,
+    )
     rng = np.random.RandomState(seed)
     bank = rng.randn(num_rows, dim).astype(np.float32)
     return bank / np.linalg.norm(bank, axis=-1, keepdims=True)
