@@ -225,10 +225,93 @@ def _install_shims() -> None:
             output = output.squeeze(3)
         return output
 
+    def get_uncertain_point_coords_with_randomness(
+        coarse_logits, uncertainty_func, num_points, oversample_ratio, importance_sample_ratio
+    ):
+        """d2 PointRend importance sampling (parity tests patch this
+        with a deterministic grid; this is the faithful fallback)."""
+        num_boxes = coarse_logits.shape[0]
+        num_sampled = int(num_points * oversample_ratio)
+        point_coords = torch.rand(num_boxes, num_sampled, 2, device=coarse_logits.device)
+        point_logits = point_sample(coarse_logits, point_coords, align_corners=False)
+        point_uncertainties = uncertainty_func(point_logits)
+        num_uncertain_points = int(importance_sample_ratio * num_points)
+        num_random_points = num_points - num_uncertain_points
+        idx = torch.topk(point_uncertainties[:, 0, :], k=num_uncertain_points, dim=1)[1]
+        shift = num_sampled * torch.arange(num_boxes, dtype=torch.long, device=coarse_logits.device)
+        idx += shift[:, None]
+        point_coords = point_coords.view(-1, 2)[idx.view(-1), :].view(
+            num_boxes, num_uncertain_points, 2
+        )
+        if num_random_points > 0:
+            point_coords = torch.cat(
+                [point_coords, torch.rand(num_boxes, num_random_points, 2, device=coarse_logits.device)],
+                dim=1,
+            )
+        return point_coords
+
     pf.point_sample = point_sample
+    pf.get_uncertain_point_coords_with_randomness = get_uncertain_point_coords_with_randomness
     pr = _mod("detectron2.projects.point_rend")
     pr.point_features = pf
     _mod("detectron2.projects").point_rend = pr
+
+    comm = _mod("detectron2.utils.comm")
+    comm.get_world_size = lambda: 1
+    utils_pkg = _mod("detectron2.utils")
+    utils_pkg.comm = comm
+
+    mem = _mod("detectron2.utils.memory")
+    mem.retry_if_cuda_oom = lambda fn: fn
+    utils_pkg.memory = mem
+
+    structures = _mod("detectron2.structures")
+
+    class Instances:
+        def __init__(self, image_size, **kwargs):
+            self._image_size = image_size
+            self._fields = {}
+            for k, v in kwargs.items():
+                self.set(k, v)
+
+        def set(self, name, value):
+            self._fields[name] = value
+
+        def get(self, name):
+            return self._fields[name]
+
+        def __getattr__(self, name):
+            if name.startswith("_"):
+                raise AttributeError(name)
+            fields = self.__dict__.get("_fields", {})
+            if name in fields:
+                return fields[name]
+            raise AttributeError(name)
+
+        def __setattr__(self, name, value):
+            if name.startswith("_"):
+                super().__setattr__(name, value)
+            else:
+                self._fields[name] = value
+
+        def __len__(self):
+            for v in self._fields.values():
+                return len(v)
+            return 0
+
+    class Boxes:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+    class BitMasks:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+    structures.Instances = Instances
+    structures.Boxes = Boxes
+    structures.BitMasks = BitMasks
+    structures.ImageList = None
+    d2.structures = structures
 
     # ------------- fake MultiScaleDeformableAttention extension ------
     msda = _mod("MultiScaleDeformableAttention")
@@ -263,6 +346,12 @@ def _install_shims() -> None:
     msda.ms_deform_attn_forward = ms_deform_attn_forward
     msda.ms_deform_attn_backward = ms_deform_attn_backward
 
+    # ---------------- torchvision (bare stub) ------------------------
+    # univs.utils.comm does `import torchvision` at module scope; the
+    # symbols the parity tests reach (convert_box_to_mask/_to_box) never
+    # touch it.
+    _mod("torchvision")
+
 
 def install() -> None:
     """Install dependency shims + reference package stubs; idempotent."""
@@ -276,6 +365,8 @@ def install() -> None:
     _pkg("univs.modeling.prompt_encoder", f"{REF}/univs/modeling/prompt_encoder")
     _pkg("univs.utils", f"{REF}/univs/utils")
     _pkg("univs.modeling.pixel_decoder", f"{REF}/univs/modeling/pixel_decoder")
+    _pkg("mask2former_video", f"{REF}/mask2former_video")
+    _pkg("mask2former_video.utils", f"{REF}/mask2former_video/utils")
     _pkg("mask2former", f"{REF}/mask2former")
     _pkg("mask2former.modeling", f"{REF}/mask2former/modeling")
     _pkg(
@@ -300,6 +391,52 @@ def install() -> None:
 
         pe.VisualPromptEncoder = _Unavailable
         pe.VisualPromptSampler = _Unavailable
+
+
+def load_reference_prompt_encoder_module():
+    """The REAL VisualPromptEncoder/VisualPromptSampler module
+    (univs/modeling/prompt_encoder/prompt_encoder.py).  Replaces the
+    inert placeholders installed by :func:`install` so sot-path parity
+    tests can instantiate the actual sampler."""
+    install()
+    import importlib
+
+    lang = sys.modules["univs.modeling.language"]
+    if not hasattr(lang, "pre_tokenize_expression"):
+        def _no_lang(*a, **kw):
+            raise RuntimeError("language stack not loaded by prompt-encoder shim")
+
+        lang.pre_tokenize_expression = _no_lang
+
+    mod = importlib.import_module("univs.modeling.prompt_encoder.prompt_encoder")
+    pe_pkg = sys.modules["univs.modeling.prompt_encoder"]
+    pe_pkg.VisualPromptEncoder = mod.VisualPromptEncoder
+    pe_pkg.VisualPromptSampler = mod.VisualPromptSampler
+    return mod
+
+
+def load_reference_criterion_modules():
+    """The real VideoSetCriterionUni / VideoSetCriterion /
+    VideoSetCriterionPrompt / VideoHungarianMatcherUni modules
+    (univs/modeling/video_criterion*.py, video_matcher.py)."""
+    install()
+    import importlib
+
+    matcher = importlib.import_module("univs.modeling.video_matcher")
+    crit = importlib.import_module("univs.modeling.video_criterion")
+    crit_p = importlib.import_module("univs.modeling.video_criterion_prompt")
+    crit_uni = importlib.import_module("univs.modeling.video_criterion_uni")
+    return crit_uni, crit, crit_p, matcher
+
+
+def load_reference_mdqe_module():
+    """The real MDQE_OverTrackerEfficient module
+    (univs/modeling/tracking/mdqe_overtracker_efficient.py)."""
+    install()
+    import importlib
+
+    _pkg("univs.modeling.tracking", f"{REF}/univs/modeling/tracking")
+    return importlib.import_module("univs.modeling.tracking.mdqe_overtracker_efficient")
 
 
 def load_reference_decoder_module():

@@ -75,13 +75,23 @@ def test_two_clip_steps(setup):
     n1 = int(pool1.valid.sum())
     assert n1 > 0, "first clip must admit entities (cls threshold 0)"
     assert bool(jnp.isfinite(pool1.mask_logits).all())
-    assert bool(pool1.prompt_valid.any()), "prompts must be re-encoded"
-    assert bool(pool1.first_valid.any())
+    # reference sampler order: prompts are encoded at the START of each
+    # clip step, so entities admitted in clip 1 get their prompt sets at
+    # clip 2 (the reference zero-pads newly entities' prompt tensors and
+    # fills them at the next clip's update loop)
+    assert not bool(pool1.prompt_valid.any())
 
     pool1 = mp.shift_clip(pool1, stride=1)
     pool2, emit2 = step(params, feats, pool1, jnp.arange(1, T + 1), jnp.int32(1), jnp.bool_(False), cls_emb)
     assert int(pool2.valid.sum()) >= n1
     assert bool(jnp.isfinite(pool2.mask_logits).all())
+    assert bool(pool2.prompt_valid.any()), "clip 2 re-encodes committed frames"
+    # first-appearance kv stays EMPTY for detection-discovered entities:
+    # the reference zero-pads newly entities' prompt tensors
+    # (write_newly_entities:864-876) and later update loops never cover
+    # the admission frame again — only VOS/sot GT-injected objects get a
+    # first-appearance set
+    assert not bool(pool2.first_valid.any())
     # logits running mean has counted clips
     assert float(pool2.logits_count.max()) >= 1
     # occurrences accumulated within the window

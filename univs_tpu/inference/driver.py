@@ -61,6 +61,20 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
             clip_offset, is_first, cls_emb, cc,
         )
 
+    import dataclasses
+
+    cc_pixel = dataclasses.replace(cc, variant="pixel")
+
+    @jax.jit
+    def clip_pixel_fn(params, feats, pool, frame_indices, clip_offset, is_first,
+                      cls_emb, thing_mask):
+        # VPS panoptic newly-entity variant (detect_newly_entities_per_
+        # clip_pixel — reference dispatch inference_video_entity.py:367-370)
+        return entity_clip_step(
+            modules, params, feats, pool, frame_indices,
+            clip_offset, is_first, cls_emb, cc_pixel, thing_mask,
+        )
+
     @jax.jit
     def shift_fn(pool):
         return mp.shift_clip(pool, stride)
@@ -88,7 +102,7 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
         return (divided.astype(jnp.float16), raw.astype(jnp.float16),
                 scores, valid_snapshot, mp.evict_window(pool, out_frames))
 
-    return encode_window_fn, clip_fn, shift_fn, emit_fn
+    return encode_window_fn, clip_fn, clip_pixel_fn, shift_fn, emit_fn
 
 
 def _build_vos_fns(cfg, backbone, modules, cc, stride, dtype, query_mode):
@@ -182,14 +196,17 @@ class EntityDriver:
                 cfg, self._backbone, self._modules, self.cc, self.stride, dtype
             )
             _DRIVER_JIT_MEMO[memo_key] = fns
-        self._encode_window_fn, self._clip_fn, self._shift_fn, self._emit_fn = fns
+        (self._encode_window_fn, self._clip_fn, self._clip_pixel_fn,
+         self._shift_fn, self._emit_fn) = fns
 
     # ------------------------------------------------------------------
 
-    def _stream(self, frames: np.ndarray, cls_emb: jnp.ndarray, divide: bool):
+    def _stream(self, frames: np.ndarray, cls_emb: jnp.ndarray, divide: bool,
+                thing_mask: Optional[np.ndarray] = None):
         """Run the clip loop over one video; returns
         (emitted mask windows, window starts, score snapshots,
-        valid snapshots, final pool)."""
+        valid snapshots, final pool).  ``thing_mask`` selects the VPS
+        pixel newly-entity variant."""
         V, H, W = frames.shape[:3]
         mask_hw = (H // 4, W // 4)
 
@@ -228,10 +245,17 @@ class EntityDriver:
             feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
 
             clip_offset = jnp.int32(i - emitted_total)
-            pool, _ = self._clip_fn(
-                self.params, feats, pool, jnp.asarray(clip_idx),
-                clip_offset, jnp.bool_(first), cls_emb,
-            )
+            if thing_mask is None:
+                pool, _ = self._clip_fn(
+                    self.params, feats, pool, jnp.asarray(clip_idx),
+                    clip_offset, jnp.bool_(first), cls_emb,
+                )
+            else:
+                pool, _ = self._clip_pixel_fn(
+                    self.params, feats, pool, jnp.asarray(clip_idx),
+                    clip_offset, jnp.bool_(first), cls_emb,
+                    jnp.asarray(thing_mask),
+                )
             first = False
 
             # emit full output windows
@@ -244,9 +268,14 @@ class EntityDriver:
                 # (reference drops only num_frames_window_output frames:
                 # inference_video_entity.py mask_logits[:, n_out:])
                 masks_div, masks_raw, win_scores, win_valid, pool = self._emit_fn(pool, n_out)
-                emitted.append(np.asarray(masks_div if divide else masks_raw))
-                emit_scores.append(np.asarray(win_scores))
-                emit_valids.append(np.asarray(win_valid))
+                # keep emitted windows ON DEVICE: fetching here would
+                # drain the FIFO queue and idle the chip while the host
+                # writes RLEs — the round-2 "double-buffering" item.
+                # Windows are fp16 (~115 MB each at 640x960/E=60), so a
+                # whole video's worth fits in HBM comfortably.
+                emitted.append(masks_div if divide else masks_raw)
+                emit_scores.append(win_scores)
+                emit_valids.append(win_valid)
                 emit_starts.append(emitted_total)
                 emitted_total += n_out
                 if is_last and emitted_total >= V:
@@ -255,6 +284,10 @@ class EntityDriver:
             if not is_last:
                 pool = self._shift_fn(pool)
             i += self.stride
+        # single end-of-video drain (device->host)
+        emitted = [np.asarray(m) for m in emitted]
+        emit_scores = [np.asarray(s) for s in emit_scores]
+        emit_valids = [np.asarray(v) for v in emit_valids]
         return emitted, emit_starts, emit_scores, emit_valids, pool
 
     def run_vis(self, frames: np.ndarray, cls_emb: jnp.ndarray,
@@ -382,9 +415,14 @@ class EntityDriver:
         out_size = out_size or image_size
         thing_ids = set(int(t) for t in thing_class_ids)  # 1-based
         overlap_thr = self.cfg.inference.overlap_threshold
+        K = int(cls_emb.shape[0])
+        thing_mask = np.zeros((K,), bool)
+        for t in thing_ids:
+            if 1 <= t <= K:
+                thing_mask[t - 1] = True
 
         emitted, emit_starts, emit_scores, emit_valids, pool = self._stream(
-            frames, cls_emb, divide=False
+            frames, cls_emb, divide=False, thing_mask=thing_mask
         )
 
         panoptic = np.zeros((V, *out_size), np.int32)
@@ -631,8 +669,10 @@ class VOSDriver:
             ):
                 n_out = out_window if not is_last else min(V - emitted_total, out_window + self.T)
                 # emit + evict exactly n_out: keep the T overlap frames
+                # (windows stay on device until the end-of-video drain —
+                # see EntityDriver._stream)
                 masks, pool = self._emit_fn(pool, n_out)
-                emitted.append(np.asarray(masks))
+                emitted.append(masks)
                 emit_starts.append(emitted_total)
                 emitted_total += n_out
                 if is_last and emitted_total >= V:
@@ -640,6 +680,7 @@ class VOSDriver:
             if not is_last:
                 pool = self._shift_fn(pool)
             i += self.stride
+        emitted = [np.asarray(m) for m in emitted]
 
         # assemble per-frame label maps (argmax over objects, 0 = bg)
         labels = np.zeros((V, *out_size), np.uint8)
@@ -705,7 +746,7 @@ class VOSDriver:
                 n_out = out_window if not is_last else min(V - emitted_total, out_window + self.T)
                 # emit + evict exactly n_out: keep the T overlap frames
                 masks, pool = self._emit_fn(pool, n_out)
-                emitted.append(np.asarray(masks))
+                emitted.append(masks)
                 emit_starts.append(emitted_total)
                 emitted_total += n_out
                 if is_last and emitted_total >= V:
@@ -713,6 +754,7 @@ class VOSDriver:
             if not is_last:
                 pool = self._shift_fn(pool)
             i += self.stride
+        emitted = [np.asarray(m) for m in emitted]
 
         out = np.zeros((N, V, *out_size), np.uint8)
         for win_masks, start in zip(emitted, emit_starts):

@@ -63,6 +63,9 @@ class EntityClipConfig:
     num_dense_points: int = 128
     clip_stride: int = 1
     num_frames: int = 5
+    # newly-entity detection variant: 'instance' (VIS) or 'pixel'
+    # (VPS panoptic — reference dispatch inference_video_entity.py:367-370)
+    variant: str = "instance"
 
 
 def entity_clip_step(
@@ -79,6 +82,7 @@ def entity_clip_step(
     is_first_clip: jnp.ndarray,  # scalar bool
     cls_emb: jnp.ndarray,  # [K, Dt] category bank slice
     cc: EntityClipConfig,
+    thing_mask: Optional[jnp.ndarray] = None,  # [K] bool (pixel variant)
 ) -> Tuple[mp.EntityMemory, Dict[str, jnp.ndarray]]:
     """One clip of category-guided inference. Pure/jittable."""
     pixel_decoder, decoder = modules
@@ -89,12 +93,27 @@ def entity_clip_step(
     mask_features, ms = encoded
     fi = frame_indices[None]  # B=1
 
+    # ---- step 0: re-encode prompts from committed frames --------------
+    # The reference's sampler runs INSIDE forward, before the decoder
+    # layers (process_per_video_inference: update_frames = 1 on the
+    # first clip else T - clip_stride), so the kv read below sees this
+    # clip's committed overlap frames fresh.
+    grid_feats, grid_pos = decoder.apply(
+        {"params": params["decoder"]}, ms[-1], fi, method="prompt_feature_grid"
+    )
+    n_update = jnp.where(is_first_clip, 1, T - cc.clip_stride)
+    pool = _reencode_prompts(
+        pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc,
+        first_frame=frame_indices[0],
+    )
+
     # ---- memory-pool prompt queries ------------------------------------
     kv, kv_pe, kv_valid = mp.read_prompt_kv(pool, cc.num_prev_frames_memory)
     L = kv.shape[1]
+    queries, query_pos = mp.read_clip_queries(pool, T)  # [E, T, C] per frame
     vp = VisualPrompts(
-        queries=_masked_mean(kv, kv_valid)[:, None].repeat(T, 1)[None],
-        query_pos=_masked_mean(kv_pe, kv_valid)[:, None].repeat(T, 1)[None],
+        queries=queries[None],
+        query_pos=query_pos[None],
         kv=jnp.broadcast_to(kv[None, :, :, None], (1, E, L, T, kv.shape[-1])),
         kv_pe=jnp.broadcast_to(kv_pe[None, :, :, None], (1, E, L, T, kv.shape[-1])),
         kv_valid=jnp.broadcast_to(kv_valid[None, :, :, None], (1, E, L, T)),
@@ -141,6 +160,37 @@ def entity_clip_step(
     )
 
     # ---- step 2: detect newly entities from learnable queries ---------
+    if cc.variant == "pixel":
+        pool = _detect_newly_pixel(
+            pool, clip_offset, frame_indices, is_first_clip,
+            logits_l, masks_l, embds_l, thing_mask, cc,
+        )
+    else:
+        pool = _detect_newly_instance(
+            pool, clip_offset, frame_indices, is_first_clip,
+            logits_l, masks_l, embds_l, cc,
+        )
+
+    emit = {
+        "logits_mean": pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None],
+        "valid": pool.valid,
+        "quality_sum": pool.quality_sum,
+    }
+    return pool, emit
+
+
+def _detect_newly_instance(
+    pool, clip_offset, frame_indices, is_first_clip,
+    logits_l, masks_l, embds_l, cc: EntityClipConfig,
+):
+    """VIS (instance) newly-entity detection
+    (detect_newly_entities_per_clip_instance,
+    inference_video_entity.py:517-652): quality-scored top-k, triu-law
+    box NMS, temporally-weighted cosine Hungarian vs memory, matched
+    updates (masks only for strong matches), class+overlap admission."""
+    E = pool.capacity
+    T = frame_indices.shape[0]
+    Ql = logits_l.shape[0]
     q_l = mask_quality_scores(masks_l)
     scored = logits_l * q_l[:, None]
     cand_ok = q_l > cc.stability_thres if cc.stability_thres > 0 else jnp.ones((Ql,), bool)
@@ -154,15 +204,17 @@ def entity_clip_step(
 
     H4, W4 = c_masks.shape[-2:]
     c_boxes_t = mask_ops.masks_to_boxes(c_masks > 0) / jnp.array([W4, H4, W4, H4], jnp.float32)
-    # NMS on per-frame box IoU max over time (reference :551-559)
+    # dedup on per-frame box IoU max over time — triu law, NOT greedy
+    # (reference :551-559)
     biou = jax.vmap(mask_ops.box_iou, in_axes=(1, 1), out_axes=2)(c_boxes_t, c_boxes_t).max(-1)
     order_scores = jnp.where(c_valid, c_logits.max(-1), -1.0)
-    keep = mask_ops.nms_keep_from_iou(biou, order_scores, cc.nms_thres, c_valid)
+    keep = mask_ops.nms_triu_keep_from_iou(biou, order_scores, cc.nms_thres, c_valid)
     c_valid = c_valid & keep
 
-    # match candidates to memory (bisoftmax-free cosine variant, :600-603)
+    # match candidates to memory — quasi-track bisoftmax (the hardcoded
+    # default, inference_video_entity.py:157,:593-598)
     cand2slot, matched_sim = mp.match_candidates_to_memory(
-        pool, c_embds, c_valid, cc.newly_thres, use_norm=True
+        pool, c_embds, c_valid, cc.newly_thres
     )
     matched = (matched_sim > cc.newly_thres) & (cand2slot >= 0) & c_valid
     # update matched entities' logits/embds from learnable queries (:609-612)
@@ -191,28 +243,96 @@ def entity_clip_step(
     cls_gate = jnp.where(is_first_clip, jnp.maximum(cc.apply_cls_thres, 0.1), cc.apply_cls_thres)
     is_new = c_valid & ~matched & (conf > cls_gate) & jnp.where(is_first_clip, True, miou_max < 0.5)
 
-    pool = mp.admit_entities(
+    return mp.admit_entities(
         pool, clip_offset, frame_indices[0], c_masks, c_logits,
         c_embds.mean(1), c_quality, is_new,
     )
 
-    # ---- step 3: re-encode prompts from committed frames --------------
-    # (reference: VisualPromptSampler.process_per_video_inference —
-    #  update_frames = 1 on the first clip else T - clip_stride)
-    grid_feats, grid_pos = decoder.apply(
-        {"params": params["decoder"]}, ms[-1], fi, method="prompt_feature_grid"
-    )
-    n_update = jnp.where(is_first_clip, 1, T - cc.clip_stride)
-    pool = _reencode_prompts(
-        pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc
-    )
 
-    emit = {
-        "logits_mean": pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None],
-        "valid": pool.valid,
-        "quality_sum": pool.quality_sum,
-    }
-    return pool, emit
+def _rank_within(mask: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
+    """Rank (0 = best) by descending score among ``mask`` members; out
+    of subset -> large."""
+    s = jnp.where(mask, scores, -jnp.inf)
+    order = jnp.argsort(-s)
+    rank = jnp.argsort(order)
+    return jnp.where(mask, rank, 1 << 30)
+
+
+def _detect_newly_pixel(
+    pool, clip_offset, frame_indices, is_first_clip,
+    logits_l, masks_l, embds_l, thing_mask, cc: EntityClipConfig,
+):
+    """VPS (panoptic/pixel) newly-entity detection
+    (detect_newly_entities_per_clip_pixel,
+    inference_video_entity.py:654-765):
+
+    first clip — score-sorted top-100 split by thing/stuff class; top-70
+    things deduped by triu-law box NMS (box_nms_thresh), top-30 stuff by
+    triu-law frame-0 mask IoU at 0.6; admitted where score >
+    apply_cls_thres.  Later clips — NO NMS; candidates are ALL learnable
+    queries, Hungarian-matched to memory by BISOFTMAX similarity
+    (use_norm=False, comm.py:39-50) with sub-threshold zeroing; every
+    matched candidate adds its masks/logits/embds; newly = unmatched
+    with score > 2*apply_cls_thres and mask IoU vs memory < 0.5."""
+    E = pool.capacity
+    T = frame_indices.shape[0]
+    Ql, K = logits_l.shape
+    q_l = mask_quality_scores(masks_l)
+    scored = logits_l * q_l[:, None]  # [Ql, K]
+    s = scored.max(-1)
+    labels = scored.argmax(-1)
+    if thing_mask is None:
+        thing_mask = jnp.ones((K,), bool)
+    isthing = thing_mask[labels]
+
+    H4, W4 = masks_l.shape[-2:]
+
+    # ---------- first-clip admission (:671-698) -----------------------
+    rank_all = _rank_within(jnp.ones((Ql,), bool), s)
+    in100 = rank_all < 100
+    cand_t = (_rank_within(isthing & in100, s) < 70)
+    cand_s = (_rank_within(~isthing & in100, s) < 30)
+    boxes_t = mask_ops.masks_to_boxes(masks_l > 0) / jnp.array([W4, H4, W4, H4], jnp.float32)
+    biou = jax.vmap(mask_ops.box_iou, in_axes=(1, 1), out_axes=2)(boxes_t, boxes_t).max(-1)
+    keep_t = mask_ops.nms_triu_keep_from_iou(biou, s, cc.nms_thres, cand_t)
+    miou0 = mask_ops.pairwise_mask_iou(masks_l[:, 0] > 0, masks_l[:, 0] > 0)
+    keep_s = mask_ops.nms_triu_keep_from_iou(miou0, s, 0.6, cand_s)
+    new_first = (keep_t | keep_s) & (s > cc.apply_cls_thres)
+
+    # ---------- later clips: quasi-track bisoftmax match (:711-716) ---
+    cand2slot, matched_sim = mp.match_candidates_to_memory(
+        pool, embds_l, jnp.ones((Ql,), bool), cc.newly_thres
+    )
+    matched = (matched_sim > cc.newly_thres) & (cand2slot >= 0) & ~is_first_clip
+
+    slot = jnp.clip(cand2slot, 0)
+    upd_logits = 0.5 * (pool.logits_last[slot] + scored)
+    logits_last = mp._scatter_where(pool.logits_last, cand2slot, upd_logits, matched)
+    old_emb = pool.embds[slot, -1]
+    nonblank = (old_emb != 0).any(-1)
+    new_emb = (old_emb + embds_l.mean(1)) / (nonblank[:, None].astype(jnp.float32) + 1.0)
+    embds_new = pool.embds.at[:, -1].set(
+        mp._scatter_where(pool.embds[:, -1], cand2slot, new_emb, matched)
+    )
+    pool = pool.replace(logits_last=logits_last, embds=embds_new)
+    # every matched candidate adds its masks (:727-740 — no 2x gate)
+    pool = _accumulate_candidate_masks(pool, clip_offset, masks_l, q_l, cand2slot, matched)
+
+    win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
+    pool_bin = (win > 0).reshape(E, -1)
+    cand_bin = (masks_l > 0).reshape(Ql, -1)
+    inter = (cand_bin.astype(jnp.float32) @ pool_bin.astype(jnp.float32).T)
+    union = jnp.maximum(
+        cand_bin.sum(-1)[:, None] + pool_bin.sum(-1)[None] - inter, 1
+    )
+    miou_max = jnp.where(pool.valid[None], inter / union, 0.0).max(-1)
+    new_later = ~matched & (s > 2 * cc.apply_cls_thres) & (miou_max < 0.5)
+
+    is_new = jnp.where(is_first_clip, new_first, new_later)
+    return mp.admit_entities(
+        pool, clip_offset, frame_indices[0], masks_l, scored,
+        embds_l.mean(1), q_l, is_new,
+    )
 
 
 def _masked_mean(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
@@ -239,17 +359,39 @@ def _accumulate_candidate_masks(pool, clip_offset, c_masks, c_quality, cand2slot
     return pool.replace(mask_logits=ml, occurrence=oc, quality_sum=qs)
 
 
-def _reencode_prompts(pool, grid_feats, grid_pos, clip_offset, n_update, T, cc: EntityClipConfig):
-    """Re-encode visual (mask) prompts for the committed frames of this
-    clip and write them into the prompt ring
-    (reference: prompt_encoder.py:877-946, prompt_type='masks')."""
+def _reencode_prompts(pool, grid_feats, grid_pos, clip_offset, n_update, T,
+                      cc: EntityClipConfig, first_frame=None):
+    """Re-encode visual (mask) prompts for this clip's committed frames
+    and write them into the prompt ring, following the reference's
+    slot-overwrite cascade exactly
+    (VisualPromptSampler.process_per_video_inference,
+    prompt_encoder.py:883-946): iteration ``key_fid`` writes slots
+    ``[key_fid:]`` for instances whose mask is non-empty at that key
+    frame — so slot ``j``'s final content is the sample from the largest
+    valid key frame ``<= min(j, n_update-1)``; in particular the newest
+    ``stride`` slots carry a COPY of the last committed frame's sample,
+    and the first clip (n_update=1) fills all T slots with frame 0's
+    sample.  Must run at the START of the clip step, before the prompt
+    kv read (the reference's sampler runs inside forward, before the
+    decoder layers).
+
+    ``first_frame``: absolute index of the clip's first frame — entities
+    whose first appearance falls on frame ``first_frame + j`` get their
+    first-appearance prompt set refreshed from slot ``j`` (the reference
+    reads ``memory[:, :, faf]`` fresh each clip, decoder_univs.py:806).
+    """
     E = pool.capacity
     Fp = pool.prompt_feats.shape[2]
     H4, W4 = pool.mask_logits.shape[-2:]
-    for k in range(T):  # static loop; gated by k < n_update
-        do = k < n_update
+    R = cc.num_dense_points
+    C = grid_feats.shape[-1]
+
+    cur_f = jnp.zeros((E, R, C), pool.prompt_feats.dtype)
+    cur_p = jnp.zeros((E, R, C), pool.prompt_pe.dtype)
+    written = jnp.zeros((E,), bool)
+    snaps_f, snaps_p, snaps_w = [], [], []
+    for k in range(T):  # static loop over key frames
         win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset + k, 1, axis=1)[:, 0]
-        occ = jax.lax.dynamic_slice_in_dim(pool.occurrence, clip_offset + k, 1, axis=1)[:, 0]
         msk = (win > 0).astype(jnp.float32)
         boxes = mask_ops.masks_to_boxes(msk) / jnp.array([W4, H4, W4, H4], jnp.float32)
         occur = msk.any(axis=(-2, -1))
@@ -258,8 +400,36 @@ def _reencode_prompts(pool, grid_feats, grid_pos, clip_offset, n_update, T, cc: 
             jnp.full((E,), 2, jnp.int32),  # mask prompts
             cc.num_dense_points, rng=None, train=False,
         )
-        # ring slot: the prompt ring's last T slots correspond to this clip
-        slot = Fp - T + k
-        gate = jnp.asarray(do) & pool.valid & occur
-        pool = mp.write_prompt_frame(pool, slot, sample.kv, sample.kv_pe, sample.kv_valid, gate)
-    return pool
+        upd = (k < n_update) & pool.valid & sample.valid
+        cur_f = jnp.where(upd[:, None, None], sample.kv, cur_f)
+        cur_p = jnp.where(upd[:, None, None], sample.kv_pe, cur_p)
+        written = written | upd
+        snaps_f.append(cur_f)
+        snaps_p.append(cur_p)
+        snaps_w.append(written)
+    snaps_f = jnp.stack(snaps_f)  # [T, E, R, C]
+    snaps_p = jnp.stack(snaps_p)
+    snaps_w = jnp.stack(snaps_w)  # [T, E]
+
+    pf, pp, pv = pool.prompt_feats, pool.prompt_pe, pool.prompt_valid
+    ff, fp, fv = pool.first_feats, pool.first_pe, pool.first_valid
+    last_k = jnp.maximum(n_update - 1, 0)
+    for j in range(T):  # static loop over ring slots
+        sel = jnp.minimum(j, last_k)  # snapshot index for slot j
+        s_f = jnp.take(snaps_f, sel, axis=0)
+        s_p = jnp.take(snaps_p, sel, axis=0)
+        s_w = jnp.take(snaps_w, sel, axis=0)  # [E] — any write reached slot j
+        slot = Fp - T + j
+        pf = pf.at[:, :, slot].set(jnp.where(s_w[:, None, None], s_f, pf[:, :, slot]))
+        pp = pp.at[:, :, slot].set(jnp.where(s_w[:, None, None], s_p, pp[:, :, slot]))
+        pv = pv.at[:, :, slot].set(jnp.where(s_w[:, None], True, pv[:, :, slot]))
+        if first_frame is not None:
+            # refresh first-appearance sets while faf is inside the clip
+            refresh = s_w & (pool.first_appear == first_frame + j)
+            ff = jnp.where(refresh[:, None, None], s_f, ff)
+            fp = jnp.where(refresh[:, None, None], s_p, fp)
+            fv = jnp.where(refresh[:, None], True, fv)
+    return pool.replace(
+        prompt_feats=pf, prompt_pe=pp, prompt_valid=pv,
+        first_feats=ff, first_pe=fp, first_valid=fv,
+    )

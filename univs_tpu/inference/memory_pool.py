@@ -181,6 +181,27 @@ def read_prompt_kv(pool: EntityMemory, num_prev: int):
     return kv, kv_pe, kv_valid
 
 
+def read_clip_queries(pool: EntityMemory, t: int):
+    """Per-frame prompt-query initialisations from the ring's last ``t``
+    slots (this clip's frames).
+
+    The reference derives query embeds from the PRE-extraction dense
+    sets — the prompt memory sliced to the current clip's frames
+    (process_per_video_inference returns ``prompt_*[-num_frames:]``,
+    prompt_encoder.py:952-954) — as non-blank means over the R entries
+    (decoder_univs.py:641-645).  Frames whose slot was never written
+    (the newest stride frames before any commit) yield zero queries.
+
+    Returns (queries [E, t, C], query_pos [E, t, C]).
+    """
+    f = pool.prompt_feats[:, :, -t:]  # [E, R, t, C]
+    p = pool.prompt_pe[:, :, -t:]
+    v = pool.prompt_valid[:, :, -t:]  # [E, R, t]
+    denom = jnp.maximum(v.sum(1), 1)[..., None].astype(f.dtype)  # [E, t, 1]
+    m = v[:, :, :, None].astype(f.dtype)
+    return (f * m).sum(1) / denom, (p * m).sum(1) / denom
+
+
 def write_prompt_frame(
     pool: EntityMemory,
     frame_slot: jnp.ndarray,  # int — index into the F_p prompt ring
@@ -296,18 +317,24 @@ def match_candidates_to_memory(
     cand_embds: jnp.ndarray,  # [Qc, T, C]
     cand_valid: jnp.ndarray,  # [Qc]
     threshold: float,
-    use_norm: bool = True,
+    use_norm: bool = False,
     embd_frames: int = 3,
 ):
     """Hungarian match of candidate (learnable-query) entities to pool
-    entities by embedding similarity (reference:
-    comm.py:25-62 match_from_learnable_embds + detect_newly:592-607).
+    entities by embedding similarity.
+
+    Default (``use_norm=False``) is the reference's QUASI-TRACK law —
+    ``use_quasi_track = True`` is hardcoded
+    (inference_video_entity.py:157, :593-598/:711-716): raw dot products
+    per (prev-frame, cur-frame) pair, bisoftmax over entities and
+    candidates averaged over pairs, sub-threshold similarities zeroed,
+    then Hungarian on (1 - sim).  ``use_norm=True`` is the
+    temporally-weighted cosine alternative (comm.py:35-46, the dead
+    ``else`` branch).
 
     Returns (cand2slot [Qc] int — matched pool slot or -1,
              matched_sim [Qc]).
     """
-    import math as _math
-
     from univs_tpu.losses.hungarian import hungarian
 
     E = pool.capacity
@@ -323,13 +350,17 @@ def match_candidates_to_memory(
         w = jnp.exp(jnp.arange(1, F + 1, dtype=jnp.float32) / F * 5.0)[None] * nonblank
         w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-3)
         sim = (sim * w[:, None]).sum(-1)  # [E, Qc]
+        sim = jnp.where(pool.valid[:, None] & cand_valid[None, :], sim, -1.0)
     else:
-        sim = jnp.einsum("nvc,mtc->nm", tgt, cand_embds) / (
-            tgt.shape[1] * cand_embds.shape[1] * _math.sqrt(tgt.shape[-1])
-        )
-
-    # invalidate empty slots / invalid candidates
-    sim = jnp.where(pool.valid[:, None] & cand_valid[None, :], sim, -1.0)
+        pair = jnp.einsum("nvc,mtc->nmvt", tgt, cand_embds)
+        pair = pair.reshape(E, cand_embds.shape[0], -1)  # [E, Qc, F*T]
+        s_rows = jnp.where(pool.valid[:, None, None], pair, -1e9)
+        s_cols = jnp.where(cand_valid[None, :, None], pair, -1e9)
+        sim = 0.5 * (
+            jax.nn.softmax(s_cols, axis=1) + jax.nn.softmax(s_rows, axis=0)
+        ).mean(-1)
+        sim = jnp.where(sim < threshold, 0.0, sim)
+        sim = jnp.where(pool.valid[:, None] & cand_valid[None, :], sim, -1.0)
     Qc = cand_embds.shape[0]
     if E <= Qc:
         slot2cand = hungarian(1.0 - sim, row_valid=pool.valid)  # [E]

@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from univs_tpu.inference import memory_pool as mp
-from univs_tpu.inference.entity import mask_quality_scores, _masked_mean, _reencode_prompts, EntityClipConfig
+from univs_tpu.inference.entity import mask_quality_scores, _reencode_prompts, EntityClipConfig
 from univs_tpu.ops import mask_ops
 from univs_tpu.structures import TextPrompts, VisualPrompts
 
@@ -109,6 +109,21 @@ def vos_clip_step(
     mask_features, ms = encoded
     fi = frame_indices[None]
 
+    # ---- step 0: re-encode prompts from committed frames --------------
+    # (reference sampler order: runs inside forward BEFORE the decoder;
+    #  update_frames = 1 - (task == 'grounding') on the first clip, else
+    #  T - clip_stride — prompt_encoder.py:881-882)
+    grid_feats, grid_pos = decoder.apply(
+        {"params": params["decoder"]}, ms[-1], fi, method="prompt_feature_grid"
+    )
+    is_first_clip = frame_indices[0] == 0
+    first_update = 0 if task == "grounding" else 1
+    n_update = jnp.where(is_first_clip, first_update, T - cc.clip_stride)
+    pool = _reencode_prompts(
+        pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc,
+        first_frame=frame_indices[0],
+    )
+
     if task == "grounding" and text_prompts is not None:
         out = decoder.apply(
             {"params": params["decoder"]},
@@ -118,9 +133,10 @@ def vos_clip_step(
         kv, kv_pe, kv_valid = mp.read_prompt_kv(pool, cc.num_prev_frames_memory)
         L = kv.shape[1]
         C = kv.shape[-1]
+        queries, query_pos = mp.read_clip_queries(pool, T)  # [N, T, C]
         vp = VisualPrompts(
-            queries=_masked_mean(kv, kv_valid)[:, None].repeat(T, 1)[None],
-            query_pos=_masked_mean(kv_pe, kv_valid)[:, None].repeat(T, 1)[None],
+            queries=queries[None],
+            query_pos=query_pos[None],
             kv=jnp.broadcast_to(kv[None, :, :, None], (1, N, L, T, C)),
             kv_pe=jnp.broadcast_to(kv_pe[None, :, :, None], (1, N, L, T, C)),
             kv_valid=jnp.broadcast_to(kv_valid[None, :, :, None], (1, N, L, T)),
@@ -251,13 +267,6 @@ def vos_clip_step(
         + jnp.where(gated, quality_app, 0.0),
     )
 
-    # ---- prompt re-encoding from committed frames --------------------
-    grid_feats, grid_pos = decoder.apply(
-        {"params": params["decoder"]}, ms[-1], fi, method="prompt_feature_grid"
-    )
-    is_first_clip = first_frame == 0
-    n_update = jnp.where(is_first_clip, 1, T - cc.clip_stride)
-    pool = _reencode_prompts(pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc)
     return pool, {"sim": sim, "quality": quality}
 
 

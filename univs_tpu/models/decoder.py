@@ -226,10 +226,18 @@ class UniVSDecoder(nn.Module):
         query_pos: jnp.ndarray,  # [B*T, Q, C]
         kv: jnp.ndarray,  # [B, Qp, L, T, C]
         kv_pe: Optional[jnp.ndarray],
-        kv_bias: jnp.ndarray,  # [B*T*Qp, 1, 1, 1+L]
         b: int,
         t: int,
     ) -> jnp.ndarray:
+        """Prompt cross-attention over each prompt's [self; L kv] set.
+
+        The reference applies NO attention mask here
+        (forward_transformer_prompt_self_attention_layer,
+        decoder_univs.py:456-496): blank entries are zero vectors that
+        attend as learned-bias tokens (key = b_k, value = b_v).  Callers
+        must zero invalid kv entries; validity masks are only used for
+        mean computations upstream.
+        """
         Ql = self.num_queries
         Qp = kv.shape[1]
         L = kv.shape[2]
@@ -248,7 +256,7 @@ class UniVSDecoder(nn.Module):
         else:
             key_pos, q_pos = None, None
         q = out_p.reshape(b * t * Qp, 1, C)
-        new_p = self.proca_layers[i](q, keys, query_pos=q_pos, pos=key_pos, bias=kv_bias)
+        new_p = self.proca_layers[i](q, keys, query_pos=q_pos, pos=key_pos)
         new_p = new_p.reshape(b * t, Qp, C)
         return jnp.concatenate([output[:, :Ql], new_p], axis=1)
 
@@ -394,7 +402,6 @@ class UniVSDecoder(nn.Module):
             prompts = visual_prompts
             task_emb = self.prompt_sot
         Qp = 0
-        kv_bias = None
         if prompts is not None:
             Qp = prompts.num_prompts
             # [B, Qp, T, C] -> [B*T, Qp, C]
@@ -402,16 +409,9 @@ class UniVSDecoder(nn.Module):
             pqp = prompts.query_pos.transpose(0, 2, 1, 3).reshape(bt, Qp, C)
             output = jnp.concatenate([output, pq], axis=1)
             query_pos = jnp.concatenate([query_pos, pqp], axis=1)
-            # ProCA key bias: self token always valid + kv validity
-            L = prompts.kv.shape[2]
-            kvv = prompts.kv_valid.transpose(0, 3, 1, 2).reshape(bt * Qp, L)  # [B*T*Qp, L]
-            ones = jnp.ones((bt * Qp, 1), dtype=bool)
-            kv_bias = jnp.where(
-                jnp.concatenate([ones, kvv], axis=1)[:, None, None, :], 0.0, NEG_INF
-            )
             # ProCA layer 0 then overwrite prompt query_pos with its output
             # (decoder_univs.py:360-363)
-            output = self._proca(0, output, query_pos, prompts.kv, prompts.kv_pe, kv_bias, b, t)
+            output = self._proca(0, output, query_pos, prompts.kv, prompts.kv_pe, b, t)
             query_pos = jnp.concatenate([query_pos[:, : self.num_queries], output[:, self.num_queries :]], axis=1)
 
         exp_sentence = None
@@ -449,11 +449,31 @@ class UniVSDecoder(nn.Module):
         all_preds: List[Tuple] = [(logits, masks, embds_raw)]
 
         self_bias = build_self_attn_bias(self.num_queries, Qp, t, self.self_attn_mask_type, task)
+        if prompts is not None:
+            # Padded (invalid) prompt slots do not exist in the reference
+            # (inference runs with exactly N prompts; training pads by
+            # REPEATING real instances — prompt_encoder.py:769-778), so
+            # their tokens must be invisible as self-attn keys.  Keep the
+            # diagonal open so invalid rows stay finite (outputs are
+            # masked downstream via `valid`).
+            tok_valid = jnp.concatenate(
+                [
+                    jnp.ones((b, self.num_queries), bool),
+                    prompts.valid.astype(bool),
+                ],
+                axis=1,
+            )  # [B, Ql+Qp]
+            tok_valid = jnp.repeat(tok_valid, t, axis=1)  # q-major tokens
+            col_bias = jnp.where(tok_valid, 0.0, NEG_INF)[:, None, None, :]
+            n_tok = tok_valid.shape[1]
+            eye = jnp.eye(n_tok, dtype=bool)[None, None]
+            base = 0.0 if self_bias is None else self_bias
+            self_bias = jnp.where(eye, 0.0, base + col_bias)
 
         # --- decoder loop ---------------------------------------------
         for i in range(self.num_layers):
             if prompts is not None and i > 0:
-                output = self._proca(i, output, query_pos, prompts.kv, prompts.kv_pe, kv_bias, b, t)
+                output = self._proca(i, output, query_pos, prompts.kv, prompts.kv_pe, b, t)
 
             li = i % self.num_feature_levels
             output = self.cross_layers[i](

@@ -188,6 +188,36 @@ def nms_keep_from_iou(iou: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, v
     return keep_sorted[jnp.argsort(order)]
 
 
+def nms_triu_keep_from_iou(iou: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
+                           valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """The reference entity-dedup law (NOT greedy NMS): sort by score,
+    drop any candidate whose max IoU against ANY higher-scored candidate
+    exceeds the threshold — suppressed candidates still suppress others
+    (``torch.triu(max_biou, diagonal=1).max(0)``,
+    inference_video_entity.py:556-559 / :682-692)."""
+    N = iou.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), dtype=bool)
+    s = jnp.where(valid, scores, -jnp.inf)
+    order = jnp.argsort(-s)  # stable: ties keep original index order
+    iou_s = iou[order][:, order]
+    v = valid[order]
+    upper = jnp.triu(jnp.ones((N, N), bool), k=1)
+    max_from_higher = jnp.where(upper & v[:, None], iou_s, -jnp.inf).max(0)
+    keep_sorted = v & (max_from_higher < iou_thres)
+    return keep_sorted[jnp.argsort(order)]
+
+
+def pairwise_mask_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Binary masks [N, H, W] x [M, H, W] -> IoU [N, M]
+    (reference: batched_mask_iou semantics)."""
+    af = a.reshape(a.shape[0], -1).astype(jnp.float32)
+    bf = b.reshape(b.shape[0], -1).astype(jnp.float32)
+    inter = af @ bf.T
+    union = af.sum(-1)[:, None] + bf.sum(-1)[None, :] - inter
+    return inter / jnp.maximum(union, 1.0)
+
+
 def nms_keep(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float, valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy NMS over a fixed-size set -> boolean keep mask [N].
 

@@ -5,19 +5,26 @@ TPU-native rebuild of the reference's ``VisualPromptEncoder`` /
 ``VisualPromptSampler`` (reference: univs/modeling/prompt_encoder/
 prompt_encoder.py:58-779).  The reference mutates targets dicts with
 data-dependent shapes and per-instance Python loops; here everything is
-a pure function over static [Qp, ...] tensors with validity masks:
+a pure function over static [Qp, ...] tensors with validity masks.
 
-- per-instance "random in-mask pixel" selection becomes Gumbel-argmax
-  over the in-mask priority map (train) or deterministic
-  confidence-weighted center-biased argmax (inference; the reference
-  also randomizes at inference — prompt_encoder.py:418-425 — we make it
-  deterministic per SURVEY §7 "hard parts");
-- dense R-point sampling becomes top-R over a priority map with
-  per-point validity instead of index-repeat padding
-  (prompt_encoder.py:477-481);
-- instances whose mask is empty at the key frame get all-invalid kv
-  entries rather than zero-vector blanks (the ProCA self-token keeps
-  the softmax well-defined — see models/decoder.py).
+Reference-exact inference semantics (activation-parity-tested in
+tests/test_prompt_parity.py):
+
+- mask prompts select the in-mask pixels of the nearest-downsampled
+  mask thresholded at ``min(0.5, global_max)`` (prompt_encoder.py:221),
+  in raster order, CYCLICALLY REPEATED to R points when fewer than R
+  pixels exist (prompt_encoder.py:478-479) — the multiplicity weights
+  both the ProCA attention and the prompt-query mean;
+- instances empty at the key frame produce all-zero feature/pe sets
+  (prompt_encoder.py:258-261); they still occupy kv slots and attend
+  as zero tokens in ProCA (the reference applies no ProCA mask);
+- when MORE than R in-mask pixels exist the reference randomizes
+  (randperm, prompt_encoder.py:481) — we take the first R in raster
+  order (deterministic; documented deviation, metric-neutral since the
+  dense set is consumed as an attention kv set).
+
+Train-time paths keep the randomized selection laws
+(25/25/50 point/box/mask mix, box jitter) via explicit rng.
 
 All functions operate on ONE video; vmap over the batch.
 """
@@ -29,8 +36,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from univs_tpu.ops.mask_ops import box_cxcywh_to_xyxy, box_xyxy_to_cxcywh, masks_to_boxes
-from univs_tpu.ops.position_encoding import SinePositionEncoding3D
+from univs_tpu.ops.mask_ops import box_cxcywh_to_xyxy, box_xyxy_to_cxcywh
 
 
 class PromptSample(NamedTuple):
@@ -49,34 +55,55 @@ def _grid_coords(h: int, w: int) -> jnp.ndarray:
 
 
 def _box_grid_mask(boxes: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Normalized xyxy boxes [Q, 4] -> binary grid masks [Q, H, W]."""
-    coords = _grid_coords(h, w)  # [H, W, 2]
-    x, y = coords[..., 0], coords[..., 1]
-    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    """Normalized xyxy boxes [Q, 4] -> binary grid masks [Q, H, W].
+
+    Matches the reference's ``convert_box_to_mask``
+    (univs/utils/comm.py:6-38): integer grid coords against
+    floor(x1*w), ceil(x2*w) with a strict > on the min edge.
+    """
+    scale = jnp.array([w, h, w, h], jnp.float32)
+    b = boxes * scale
+    x1, y1 = jnp.floor(b[:, 0]), jnp.floor(b[:, 1])
+    x2, y2 = jnp.ceil(b[:, 2]), jnp.ceil(b[:, 3])
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32), indexing="ij"
+    )
     inside = (
-        (x[None] >= x0[:, None, None])
-        & (x[None] <= x1[:, None, None])
-        & (y[None] >= y0[:, None, None])
-        & (y[None] <= y1[:, None, None])
+        (gx[None] > x1[:, None, None])
+        & (gx[None] <= x2[:, None, None])
+        & (gy[None] > y1[:, None, None])
+        & (gy[None] <= y2[:, None, None])
     )
     return inside
 
 
 def _resize_nearest_mask(masks: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """[Q, Hm, Wm] -> [Q, h, w] nearest (matches F.interpolate nearest)."""
-    q = masks.shape[0]
+    """[Q, Hm, Wm] -> [Q, h, w] nearest-downsample.
+
+    torch ``F.interpolate(mode='nearest')`` uses ``src = floor(dst*scale)``
+    which, for integer scale factors, is plain strided subsampling —
+    reproduce that exactly; fall back to jax.image.resize otherwise."""
+    q, hm, wm = masks.shape
+    if hm % h == 0 and wm % w == 0:
+        return masks[:, :: hm // h, :: wm // w][:, :h, :w]
     return jax.image.resize(masks, (q, h, w), method="nearest")
 
 
-def _topk_points(
-    priority: jnp.ndarray,  # [Q, H*W] (>0 where selectable)
-    r: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Select R pixel indices per instance by priority.
+def _cyclic_dense_select(priority: jnp.ndarray, r: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference dense-point law (prompt_encoder.py:471-481): take the
+    selectable pixels (priority > 0) ordered by descending priority,
+    cyclically repeated to fill R slots.
 
-    Returns (idx [Q, R], valid [Q, R])."""
-    vals, idx = jax.lax.top_k(priority, r)
-    return idx, vals > 0
+    priority: [Q, HW].  Returns (idx [Q, R], n_selectable [Q]).
+    """
+    hw = priority.shape[-1]
+    k = min(r, hw)
+    _, idx = jax.lax.top_k(priority, k)  # stable: ties keep raster order
+    if k < r:  # more dense points than pixels: cyclic from the start
+        idx = jnp.concatenate([idx, idx[:, : r - k]], axis=1)[:, :r]
+    n = (priority > 0).sum(-1)  # [Q]
+    j = jnp.arange(r)[None] % jnp.maximum(jnp.minimum(n, k), 1)[:, None]
+    return jnp.take_along_axis(idx, j, axis=1), n
 
 
 def sample_visual_prompts(
@@ -107,8 +134,11 @@ def sample_visual_prompts(
 
     fm = _resize_nearest_mask(masks_key.astype(jnp.float32), H, W)  # [Qp, H, W]
     fm_flat = fm.reshape(Qp, HW)
-    # per-instance threshold: min(thresh, max) keeps >=1 pixel for soft masks
-    thr = jnp.minimum(mask_thresh, fm_flat.max(axis=1, keepdims=True))
+    # GLOBAL threshold min(0.5, max over all instances+pixels)
+    # (prompt_encoder.py:221 `feat_masks.max()` is dim-less); the
+    # `fm > 0` guard only changes the degenerate all-blank case, where
+    # the reference gathers arbitrary pixels that are zeroed downstream
+    thr = jnp.minimum(mask_thresh, fm_flat.max())
     mask_binary = (fm_flat >= jnp.maximum(thr, 1e-6)) & (fm_flat > 0)
 
     box_binary = _box_grid_mask(boxes_key, H, W).reshape(Qp, HW)
@@ -126,17 +156,15 @@ def sample_visual_prompts(
         box_binary = _box_grid_mask(boxes_noised, H, W).reshape(Qp, HW)
 
     # ---- dense point selection priorities -----------------------------
+    # inference: raster order (the reference's torch.nonzero order);
+    # train: random order (the reference's randperm)
     if train and rng is not None:
         rk, rng = jax.random.split(rng)
         u = jax.random.uniform(rk, (Qp, HW), minval=0.1, maxval=1.0)
     else:
-        # deterministic: prefer high mask confidence (stable across runs)
-        u = 0.5 + 0.5 * fm_flat
-    mask_priority = mask_binary.astype(jnp.float32) * u
-    box_priority = box_binary.astype(jnp.float32) * u
-
-    mask_idx, mask_sel_valid = _topk_points(mask_priority, R)
-    box_idx, box_sel_valid = _topk_points(box_priority, R)
+        u = (HW - jnp.arange(HW, dtype=jnp.float32))[None] / HW
+    mask_idx, n_mask = _cyclic_dense_select(mask_binary.astype(jnp.float32) * u, R)
+    box_idx, n_box = _cyclic_dense_select(box_binary.astype(jnp.float32) * u, R)
 
     # ---- point prompt: one point, feature repeated R times -----------
     # pick the in-mask point with max (center-biased) priority
@@ -144,19 +172,12 @@ def sample_visual_prompts(
     cxcywh = box_xyxy_to_cxcywh(boxes_key)
     ctr_dist = jnp.abs(coords[None] - cxcywh[:, None, :2])  # [Qp, HW, 2]
     in_ctr = (ctr_dist < 0.25 * jnp.maximum(cxcywh[:, None, 2:], 1e-6)).all(-1)
-    point_priority = mask_priority * (1.0 + in_ctr.astype(jnp.float32))
+    point_priority = mask_binary.astype(jnp.float32) * u * (1.0 + in_ctr.astype(jnp.float32))
     point_idx = jnp.argmax(point_priority, axis=1)  # [Qp]
     point_valid = jnp.take_along_axis(point_priority, point_idx[:, None], 1)[:, 0] > 0
-    point_coords = coords[point_idx]  # [Qp, 2]
 
     point_feats = feats_flat[point_idx]  # [Qp, C] (grid-center sample)
     point_pe = pos_flat[point_idx]
-
-    # ---- mean features (box / mask paths) ----------------------------
-    w_mask = fm_flat * mask_binary
-    mask_mean = (w_mask @ feats_flat) / jnp.maximum(w_mask.sum(1, keepdims=True), mask_thresh)
-    box_f = box_binary.astype(jnp.float32)
-    box_mean = (box_f @ feats_flat) / jnp.maximum(box_f.sum(1, keepdims=True), 1.0)
 
     # ---- gather dense kv ---------------------------------------------
     def gather(idx):
@@ -166,22 +187,21 @@ def sample_visual_prompts(
     box_kv, box_pe = gather(box_idx)
     pt_kv = jnp.broadcast_to(point_feats[:, None], (Qp, R, C))
     pt_pe = jnp.broadcast_to(point_pe[:, None], (Qp, R, C))
-    pt_valid = jnp.broadcast_to(point_valid[:, None], (Qp, R))
 
     flags = prompt_flags[:, None, None]
     kv = jnp.where(flags == 0, pt_kv, jnp.where(flags == 1, box_kv, mask_kv))
     kv_pe = jnp.where(flags == 0, pt_pe, jnp.where(flags == 1, box_pe, mask_pe))
-    f2 = prompt_flags[:, None]
-    kv_valid = jnp.where(f2 == 0, pt_valid, jnp.where(f2 == 1, box_sel_valid, mask_sel_valid))
 
-    valid = occur_key & (
-        jnp.where(
-            prompt_flags == 0,
-            point_valid,
-            jnp.where(prompt_flags == 1, box_sel_valid.any(1), mask_sel_valid.any(1)),
-        )
+    # instance validity: a selectable pixel exists and the target occurs
+    valid = occur_key & jnp.where(
+        prompt_flags == 0,
+        point_valid,
+        jnp.where(prompt_flags == 1, n_box > 0, n_mask > 0),
     )
-    kv_valid = kv_valid & valid[:, None]
+    # all R cyclic slots carry real features for valid instances
+    # (reference repeats to R — every entry is non-blank); invalid
+    # instances are zeroed and attend as zero tokens (see module doc)
+    kv_valid = jnp.broadcast_to(valid[:, None], (Qp, R))
     kv = kv * kv_valid[..., None]
     kv_pe = kv_pe * kv_valid[..., None]
     return PromptSample(kv=kv, kv_pe=kv_pe, kv_valid=kv_valid, valid=valid)
