@@ -47,8 +47,12 @@ def test_loss_l2v():
     rng = np.random.RandomState(2)
     L = 3  # sentence + 2 word tokens
     l2v = jnp.asarray(rng.rand(2, 2 * L, S), jnp.float32)  # [B*T, Qp*L, S]
-    v = loss_l2v_attn_weights(jax.random.PRNGKey(0), l2v, sizes, L, targets, cfg, t=2)
-    assert bool(jnp.isfinite(v))
+    num_masks = jnp.float32(2 * 2)  # B*Qp*T prompt normalizer
+    v = loss_l2v_attn_weights(
+        jax.random.PRNGKey(0), l2v, sizes, L, targets, cfg, t=2, num_masks=num_masks
+    )
+    assert set(v) == {f"loss_l2v_attn_weight_{i}" for i in range(3)}
+    assert all(bool(jnp.isfinite(x)) for x in v.values())
 
 
 def test_criterion_with_sem_and_l2v():
@@ -70,7 +74,7 @@ def test_criterion_with_sem_and_l2v():
         jax.random.PRNGKey(0), out, targets, jnp.ones(3, bool),
         task="grounding", sem_loss=False, level_sizes=sizes, tokens_per_prompt=1,
     )
-    assert "loss_l2v_attn_weight" in logged
+    assert "loss_l2v_attn_weight_0" in logged
     assert bool(jnp.isfinite(total))
     # detection with sem loss
     out.pop("l2v_attn_weights")

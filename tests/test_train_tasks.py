@@ -66,7 +66,7 @@ def test_train_step_grounding(setup):
         exp_valid=jnp.ones((B, N), bool),
     )
     logged = _run(cfg, model, params, batch, "grounding")
-    assert "loss_l2v_attn_weight" in logged
+    assert "loss_l2v_attn_weight_0" in logged  # per-level keys now
 
 
 def test_train_step_sot(setup):

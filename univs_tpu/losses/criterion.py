@@ -36,6 +36,14 @@ from univs_tpu.config import TrainConfig
 from univs_tpu.losses.hungarian import hungarian
 from univs_tpu.ops.mask_ops import point_sample
 
+# Parity-test hooks: when set, replace the random point generators so the
+# reference torch criterion (whose d2 point sampler is likewise patched)
+# and this module sample identical coordinates (tests/test_criterion_parity.py).
+# _FIXED_MATCH_COORDS: [P, 2] matcher point set (video_matcher.py:166).
+# _FIXED_LOSS_COORDS: callable (R, P) -> [R, P, 2] PointRend replacement.
+_FIXED_MATCH_COORDS = None
+_FIXED_LOSS_COORDS = None
+
 
 # ---------------------------------------------------------------------------
 # targets
@@ -57,6 +65,12 @@ class TrainTargets:
     masks: jnp.ndarray  # [B, N, T, H, W] float {0,1}
     valid: jnp.ndarray  # [B, N] bool
     prompt_obj_ids: jnp.ndarray  # [B, Qp] int32 -> target slot, -1 invalid
+    # text-detection prompt supervision: the prompt queries are bound to
+    # SEMANTIC targets (per-category union masks), not instances
+    # (reference: video_criterion_prompt.py:329-331 t["sem_labels"],
+    #  :438-441 t['sem_masks']).  None -> prompt_obj_ids index `masks`.
+    sem_labels: Optional[jnp.ndarray] = None  # [B, S] 1-based, 0 pad
+    sem_masks: Optional[jnp.ndarray] = None  # [B, S, T, H, W]
 
 
 # ---------------------------------------------------------------------------
@@ -115,10 +129,12 @@ def contrastive_loss(sim: jnp.ndarray, pos: jnp.ndarray, row_valid: jnp.ndarray,
     keep = row_valid.astype(jnp.float32) * has_pos
 
     neg_inf = jnp.float32(-1e9)
-    sim_pos_masked = jnp.where(pos > 0, sim, neg_inf)
-    pos_max = sim_pos_masked.max(-1)  # hardest positive proxy (argmax of target)
+    # the reference anchors on the FIRST positive column (targets.argmax
+    # of a 0/1 matrix — video_criterion.py:178-179), not the best one
+    first_pos = jnp.argmax(pos, axis=-1)  # [R]
+    pos_first = jnp.take_along_axis(sim, first_pos[:, None], axis=-1)[:, 0]
     pos_mean = (sim * pos).sum(-1) / jnp.maximum(pos.sum(-1), 1)
-    pos_two = jnp.stack([pos_max, pos_mean], axis=-1)  # [R, 2]
+    pos_two = jnp.stack([pos_first, pos_mean], axis=-1)  # [R, 2]
 
     col_sel = col_valid.astype(jnp.float32)
     if rng is not None:
@@ -166,6 +182,8 @@ def uncertainty_point_coords(
     get_uncertain_point_coords_with_randomness semantics).
     mask_logits: [R, H, W] -> coords [R, P, 2]."""
     R = mask_logits.shape[0]
+    if _FIXED_LOSS_COORDS is not None:  # parity-test hook
+        return jnp.asarray(_FIXED_LOSS_COORDS(R, num_points), jnp.float32)
     n_sampled = int(num_points * oversample_ratio)
     k_unc = int(importance_sample_ratio * num_points)
     k_rand = num_points - k_unc
@@ -216,7 +234,10 @@ def match_video(
     cost_class = -prob[:, lbl]  # [Q, N]
 
     # shared random points for all masks (video_matcher.py:166)
-    coords = jax.random.uniform(rng, (cfg.num_points, 2))
+    if _FIXED_MATCH_COORDS is not None:  # parity-test hook
+        coords = jnp.asarray(_FIXED_MATCH_COORDS, jnp.float32)
+    else:
+        coords = jax.random.uniform(rng, (cfg.num_points, 2))
     sm = jax.vmap(lambda m: point_sample(m, coords))(
         pred_masks.reshape(Q, -1, *pred_masks.shape[-2:])
     ).reshape(Q, -1)  # [Q, T*P]
@@ -366,25 +387,31 @@ def _layer_losses_prompt(
     pred_embds: jnp.ndarray,  # [B, Qp, T, C]
     targets: TrainTargets,
     cls_valid: jnp.ndarray,
-    num_masks: jnp.ndarray,
+    num_masks: jnp.ndarray,  # prompt normalizer: B*Qp*T (see UniCriterion)
     cfg: TrainConfig,
     task: str,
     class_loss: bool = True,
+    text_detection: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed assignment: prompt slot i is bound to target
-    prompt_obj_ids[i] (video_criterion_prompt.py)."""
+    prompt_obj_ids[i] (video_criterion_prompt.py).  For the
+    text-detection task the slots index SEMANTIC targets
+    (sem_labels/sem_masks); otherwise instance targets."""
     B, Qp, K = pred_logits.shape
     T = pred_masks.shape[2]
     poi = targets.prompt_obj_ids  # [B, Qp]
     pvalid = poi >= 0
     pclip = jnp.clip(poi, 0)
     r_pts, _ = jax.random.split(rng)
+    use_sem = text_detection and targets.sem_masks is not None
+    tgt_labels_all = targets.sem_labels if use_sem else targets.labels
+    tgt_masks_all = targets.sem_masks if use_sem else targets.masks
 
     losses: Dict[str, jnp.ndarray] = {}
 
     # ---- labels ------------------------------------------------------
     if task != "grounding" and class_loss:
-        lbl = jax.vmap(lambda l, q: l[q])(targets.labels, pclip)  # [B, Qp]
+        lbl = jax.vmap(lambda l, q: l[q])(tgt_labels_all, pclip)  # [B, Qp]
         lbl0 = jnp.clip(lbl - 1, 0, K - 1)
         oh = jax.nn.one_hot(lbl0, K) * pvalid[..., None]
         focal = jax.vmap(lambda lg, o: focal_conf_sigmoid(lg, o, cls_valid))(pred_logits, oh)
@@ -398,7 +425,7 @@ def _layer_losses_prompt(
 
     # ---- masks -------------------------------------------------------
     src = pred_masks.reshape(B * Qp * T, *pred_masks.shape[-2:])
-    tgt = jax.vmap(lambda m, q: m[q])(targets.masks, pclip)
+    tgt = jax.vmap(lambda m, q: m[q])(tgt_masks_all, pclip)
     tgt = tgt.reshape(B * Qp * T, *tgt.shape[-2:])
     logits, labels_pt = _sample_mask_points(r_pts, src, tgt, cfg)
     row_valid = jnp.repeat(pvalid.reshape(-1), T).astype(jnp.float32)
@@ -512,11 +539,14 @@ def loss_masks_sem(
     """Semantic cross-entropy over prompt slots at sampled points
     (video_criterion_prompt.py:489-541 — text-prompt detection path:
     per pixel, exactly one prompt/category owns it; CE over the Qp
-    'classes', ignoring background)."""
+    'classes', ignoring background).  The owner/bg maps are sampled with
+    NEAREST semantics like the reference's mode='nearest' point_sample
+    (:524)."""
     B, Qp, T, H, W = pred_masks_p.shape
     poi = targets.prompt_obj_ids
     pvalid = poi >= 0
-    gt = jax.vmap(lambda m, q: m[jnp.clip(q, 0)])(targets.masks, poi)  # [B, Qp, T, h, w]
+    gt_src = targets.sem_masks if targets.sem_masks is not None else targets.masks
+    gt = jax.vmap(lambda m, q: m[jnp.clip(q, 0)])(gt_src, poi)  # [B, Qp, T, h, w]
     gt = gt * pvalid[:, :, None, None, None]
 
     # per-pixel owner slot (argmax over slots; bg where no slot covers)
@@ -530,12 +560,17 @@ def loss_masks_sem(
     )
     coords = jax.lax.stop_gradient(coords)
     logits_pt = jax.vmap(lambda m, c: point_sample(m, c))(src, coords)  # [B*T, P, Qp]
-    own_bt = owner.transpose(0, 1, 2, 3).reshape(B * T, *owner.shape[-2:])
+    own_bt = owner.reshape(B * T, *owner.shape[-2:])
     fg_bt = has_fg.reshape(B * T, *owner.shape[-2:])
-    lab_pt = jax.vmap(lambda m, c: point_sample(m[None].astype(jnp.float32), c)[:, 0])(own_bt, coords)
-    fg_pt = jax.vmap(lambda m, c: point_sample(m[None].astype(jnp.float32), c)[:, 0])(fg_bt, coords)
-    lab = jnp.round(lab_pt).astype(jnp.int32)
-    keep = (fg_pt > 0.5).astype(jnp.float32)
+
+    def nearest_sample(m, c):  # m [h, w] int/bool; c [P, 2] in [0, 1]
+        h, w = m.shape
+        ix = jnp.clip(jnp.round(c[:, 0] * w - 0.5).astype(jnp.int32), 0, w - 1)
+        iy = jnp.clip(jnp.round(c[:, 1] * h - 0.5).astype(jnp.int32), 0, h - 1)
+        return m[iy, ix]
+
+    lab = jax.vmap(nearest_sample)(own_bt, coords).astype(jnp.int32)
+    keep = jax.vmap(nearest_sample)(fg_bt, coords).astype(jnp.float32)
 
     logZ = jax.nn.logsumexp(logits_pt, axis=-1)
     ce = logZ - jnp.take_along_axis(logits_pt, lab[..., None], -1)[..., 0]
@@ -550,11 +585,15 @@ def loss_l2v_attn_weights(
     targets: TrainTargets,
     cfg: TrainConfig,
     t: int,
-) -> jnp.ndarray:
+    num_masks: jnp.ndarray,  # prompt normalizer B*Qp*T (dice term)
+) -> Dict[str, jnp.ndarray]:
     """Lang->vision attention supervision: smooth-L1 + dice between
     max-normalized sentence-token attention maps and GT masks at
-    sampled points (video_criterion_prompt.py:543-598), summed over the
-    3 levels."""
+    sampled points (video_criterion_prompt.py:543-598).  Returns one
+    loss per level keyed ``loss_l2v_attn_weight_{i}`` like the
+    reference's per-level emission (:648-652); the sl1 term normalizes
+    by the sampled GT label sum (:593) and the dice term by the prompt
+    num_masks (:594)."""
     BT = l2v.shape[0]
     B = BT // t
     QpL = l2v.shape[1]
@@ -567,7 +606,7 @@ def loss_l2v_attn_weights(
     pvalid = (poi >= 0)
     gt = jax.vmap(lambda m, q: m[jnp.clip(q, 0)])(targets.masks, poi)  # [B, Qp, T, h, w]
 
-    total = jnp.float32(0.0)
+    out: Dict[str, jnp.ndarray] = {}
     start = 0
     for li, (h, wd) in enumerate(level_sizes):
         maps = w[:, :, start : start + h * wd].reshape(B, t, Qp, h, wd)
@@ -587,11 +626,9 @@ def loss_l2v_attn_weights(
         d = jnp.abs(probs - labels)
         sl1 = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
         sl1 = (sl1 * valid[:, None]).sum() / jnp.maximum((labels * valid[:, None]).sum(), 1.0)
-        dice = (dice_loss_points(probs, labels, already_prob=True) * valid).sum() / jnp.maximum(
-            valid.sum(), 1.0
-        )
-        total = total + 0.5 * (sl1 + dice)
-    return total
+        dice = (dice_loss_points(probs, labels, already_prob=True) * valid).sum() / num_masks
+        out[f"loss_l2v_attn_weight_{li}"] = 0.5 * (sl1 + dice)
+    return out
 
 
 def _loss_reid_l2p(
@@ -600,31 +637,55 @@ def _loss_reid_l2p(
     match: jnp.ndarray,  # [B, N] learnable match (query per target)
     pred_embds_p: jnp.ndarray,  # [B, Qp, T, C]
     targets: TrainTargets,
+    text_detection: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Learnable<->prompt alignment (video_criterion.py:480-568),
-    sot/visual flavor: same underlying target slot => positive pair."""
+    """Learnable<->prompt alignment (video_criterion.py:480-568).
+
+    text-detection: positives = same CLASS label, rows kept where
+    label>=1 / slot valid, aux loss disabled (:512-519, :551-552).
+    sot/grounding: positives = same per-frame TRACK id; (row, frame)
+    entries with id -1 dropped on both sides (:521-534)."""
     B, N = match.shape
     T = pred_embds_l.shape[2]
     C = pred_embds_l.shape[-1]
     mclip = jnp.clip(match, 0)
     src = jax.vmap(lambda e, q: e[q])(pred_embds_l, mclip).reshape(B * N * T, C)
-    ids_l = jnp.repeat(jnp.arange(N)[None].repeat(B, 0).reshape(-1), T)
     vids_l = jnp.repeat(jnp.arange(B), N * T)
-    keep_l = jnp.repeat((targets.valid & (match >= 0)).reshape(-1), T)
 
     Qp = pred_embds_p.shape[1]
+    poi = targets.prompt_obj_ids
     prm = pred_embds_p.reshape(B * Qp * T, C)
-    ids_p = jnp.repeat(targets.prompt_obj_ids.reshape(-1), T)
     vids_p = jnp.repeat(jnp.arange(B), Qp * T)
-    keep_p = ids_p >= 0
+
+    if text_detection:
+        # class-label identity (the prompt slot's category)
+        ids_l = jnp.repeat(targets.labels.reshape(-1), T)  # [B*N*T]
+        keep_l = (ids_l >= 1) & jnp.repeat((targets.valid & (match >= 0)).reshape(-1), T)
+        lab_src = targets.sem_labels if targets.sem_labels is not None else targets.labels
+        ids_p = jnp.repeat(
+            jax.vmap(lambda l, q: l[jnp.clip(q, 0)])(lab_src, poi).reshape(-1), T
+        )
+        keep_p = jnp.repeat((poi >= 0).reshape(-1), T)
+    else:
+        # per-frame track ids (ids -1 where the object is absent)
+        ids_l = targets.ids.reshape(-1)  # [B*N*T]
+        keep_l = (ids_l >= 0) & jnp.repeat((targets.valid & (match >= 0)).reshape(-1), T)
+        ids_p3 = jax.vmap(lambda i, q: i[jnp.clip(q, 0)])(targets.ids, poi)  # [B, Qp, T]
+        ids_p3 = jnp.where((poi >= 0)[..., None], ids_p3, -1)
+        ids_p = ids_p3.reshape(-1)
+        keep_p = ids_p >= 0
 
     sim = src @ prm.T / math.sqrt(C)
     pos = ((ids_l[:, None] == ids_p[None]) & (vids_l[:, None] == vids_p[None])).astype(jnp.float32)
     loss = contrastive_loss(sim, pos, keep_l, keep_p, rng=jax.random.fold_in(rng, 103))
-    nl = src / jnp.maximum(jnp.linalg.norm(src, axis=-1, keepdims=True), 1e-12)
-    np_ = prm / jnp.maximum(jnp.linalg.norm(prm, axis=-1, keepdims=True), 1e-12)
-    loss_aux = contrastive_aux_loss(nl @ np_.T, pos, keep_l, keep_p)
-    return {"loss_reid_l2p": loss, "loss_reid_l2p_aux": loss_aux}
+    out = {"loss_reid_l2p": loss}
+    if text_detection:
+        out["loss_reid_l2p_aux"] = jnp.float32(0.0)  # reference :551-552
+    else:
+        nl = src / jnp.maximum(jnp.linalg.norm(src, axis=-1, keepdims=True), 1e-12)
+        np_ = prm / jnp.maximum(jnp.linalg.norm(prm, axis=-1, keepdims=True), 1e-12)
+        out["loss_reid_l2p_aux"] = contrastive_aux_loss(nl @ np_.T, pos, keep_l, keep_p)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -672,15 +733,23 @@ class UniCriterion:
         tokens_per_prompt: int = 1,
         boxvis: bool = False,
         pseudo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        prompt_type: str = "text",
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         Ql = self.num_learnable
         T = self.num_frames
         num_masks = jnp.maximum(targets.valid.sum(), 1).astype(jnp.float32) * T
+        has_prompt = outputs["pred_masks"].shape[1] > Ql
+        # prompt normalizer counts ALL prompt slots (padding repeats real
+        # instances in the reference, so every slot counts —
+        # video_criterion_prompt.py:617-624)
+        B = targets.labels.shape[0]
+        Qp = outputs["pred_masks"].shape[1] - Ql
+        num_masks_p = jnp.float32(max(B * Qp, 1) * T)
+        text_detection = task == "detection" and prompt_type == "text"
 
         layers = outputs["aux_outputs"] + [outputs]
         total = jnp.float32(0.0)
         logged: Dict[str, jnp.ndarray] = {}
-        has_prompt = outputs["pred_masks"].shape[1] > Ql
 
         for li, layer in enumerate(layers):
             r = jax.random.fold_in(rng, li)
@@ -704,30 +773,34 @@ class UniCriterion:
                     layer["pred_logits"][:, Ql:],
                     layer["pred_masks"][:, Ql:],
                     layer["pred_embds"][:, Ql:],
-                    targets, cls_valid, num_masks, self.cfg, task, class_loss,
+                    targets, cls_valid, num_masks_p, self.cfg, task, class_loss,
+                    text_detection=text_detection,
                 )
+                if sem_loss and text_detection:
+                    sem = loss_masks_sem(
+                        jax.random.fold_in(r, 777),
+                        layer["pred_masks"][:, Ql:], targets, self.cfg,
+                    )
+                    lp["loss_mask"] = lp.get("loss_mask", 0.0) + sem
                 for k, v in lp.items():
                     merged[k] = 0.5 * (merged[k] + v) if k in merged else v
-                if match is not None and task != "grounding":
+                if match is not None:
+                    # l2p runs for every task (grounding uses per-frame
+                    # ids — video_criterion.py:480-568)
                     merged.update(
                         _loss_reid_l2p(
                             jax.random.fold_in(r, 555),
                             layer["pred_embds"][:, :Ql], match,
                             layer["pred_embds"][:, Ql:], targets,
+                            text_detection=text_detection,
                         )
                     )
-            if has_prompt and sem_loss and task == "detection":
-                sem = loss_masks_sem(
-                    jax.random.fold_in(r, 777),
-                    layer["pred_masks"][:, Ql:], targets, self.cfg,
-                )
-                merged["loss_mask"] = merged.get("loss_mask", 0.0) + sem
             for k, v in merged.items():
                 logged[k + suffix] = v
                 total = total + self.weight(k) * v
 
-        # lang->vision attention supervision (grounding / visual-detection;
-        # zero for text-detection — video_criterion_prompt.py:551)
+        # lang->vision attention supervision (grounding; detached zero
+        # for text-detection — video_criterion_prompt.py:551)
         if (
             "l2v_attn_weights" in outputs
             and outputs["l2v_attn_weights"] is not None
@@ -737,7 +810,9 @@ class UniCriterion:
             l2v = loss_l2v_attn_weights(
                 jax.random.fold_in(rng, 999), outputs["l2v_attn_weights"],
                 level_sizes, tokens_per_prompt, targets, self.cfg, T,
+                num_masks_p,
             )
-            logged["loss_l2v_attn_weight"] = l2v
-            total = total + self.cfg.mask_weight * l2v
+            for k, v in l2v.items():
+                logged[k] = v
+                total = total + self.cfg.mask_weight * v
         return total, logged
