@@ -122,6 +122,51 @@ def test_eval_refvos_pipeline(tiny_setup):
     assert 0.0 <= metrics["J"] <= 1.0
 
 
+def test_eval_image_pipeline(tiny_setup, tmp_path):
+    """Image-task eval path (engine evaluator_type 'coco'): synthetic
+    COCO-format 1-frame records through ImageDriver -> instance AP +
+    PQ + mIoU (reference: inference_image_generic_seg.py:176-449,
+    train_net.py:111-165)."""
+    cfg, params, cls_bank = tiny_setup
+    records = _toy_records(V=1)
+    records[0]["video_id"] = 11
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+    from univs_tpu.engine import _eval_image
+
+    # panoptic dataset: category 1 is a thing, category 2 stuff
+    m = _eval_image(cfg, params, records, mapper, cls_bank,
+                    thing_ids={1}, output_dir=str(tmp_path))
+    assert {"AP", "PQ", "SQ", "RQ", "mIoU", "fps"} <= set(m)
+    assert np.isfinite(m["PQ"]) and 0.0 <= m["PQ"] <= 1.0
+    assert (tmp_path / "image_results.json").exists()
+
+    # pure instance dataset (no stuff): AP only
+    m2 = _eval_image(cfg, params, records, mapper, cls_bank, thing_ids=set())
+    assert "AP" in m2 and "PQ" not in m2
+
+
+def test_pq_stat_exact():
+    """PQStat on a hand-computable case (panopticapi law)."""
+    from univs_tpu.evaluation.panoptic import PQStat
+
+    gt = np.zeros((10, 10), np.int32)
+    gt[:5, :5] = 1  # cat 0, area 25
+    gt[5:, 5:] = 2  # cat 1, area 25
+    pred = np.zeros((10, 10), np.int32)
+    pred[:5, :4] = 1  # overlaps gt1 20/25 -> IoU 20/30
+    pred[0:2, 6:10] = 2  # cat 1, entirely on VOID -> ignored (not FP)
+    stat = PQStat()
+    stat.update(
+        gt, [{"id": 1, "category_id": 0}, {"id": 2, "category_id": 1}],
+        pred, [{"id": 1, "category_id": 0}, {"id": 2, "category_id": 1}],
+    )
+    r = stat.result()
+    # cat 0: TP IoU = 20/(25+20-20) = 0.8 -> PQ = 0.8
+    # cat 1: 0 TP, 0 FP (void-ignored), 1 FN -> PQ = 0
+    assert abs(r["PQ"] - (0.8 + 0.0) / 2) < 1e-6
+    assert r["n"] == 2
+
+
 def test_eval_vss_and_vps_pipelines(tiny_setup):
     cfg, params, cls_bank = tiny_setup
     records = _toy_records()

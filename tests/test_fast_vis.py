@@ -9,10 +9,12 @@ from univs_tpu.config import InferenceConfig, tiny_test_config
 from univs_tpu.inference.fast_vis import (
     FastVISDriver,
     SemanticExtractionDriver,
-    image_instance_postprocess,
-    image_panoptic_postprocess,
-    image_semantic_postprocess,
     match_from_embds,
+)
+from univs_tpu.inference.image import (
+    instance_inference,
+    panoptic_inference,
+    semantic_inference,
 )
 from univs_tpu.models.univs import UniVSModel
 from univs_tpu.structures import TextPrompts
@@ -53,16 +55,29 @@ def test_fast_vis_driver(setup):
 
 
 def test_image_postprocess():
+    """Exact-law image heads (univs_tpu/inference/image.py): rows =
+    num_queries learnable + K prompt queries, K=3 classes."""
     rng = np.random.RandomState(0)
-    logits = rng.rand(6, 3).astype(np.float32)
-    masks = rng.randn(6, 16, 16).astype(np.float32)
-    inst = image_instance_postprocess(logits, masks, topk=5)
-    assert len(inst) == 5 and {"category_id", "score", "mask"} <= set(inst[0])
-    sem = image_semantic_postprocess(logits, masks)
-    assert sem.shape == (16, 16) and sem.max() < 3
-    pan, infos = image_panoptic_postprocess(logits, masks, thing_ids={1, 2}, object_thres=0.1)
+    Ql, K = 4, 3
+    logits = rng.rand(Ql + K, K).astype(np.float32)
+    masks = rng.randn(Ql + K, 16, 16).astype(np.float32) * 4
+
+    inst = instance_inference(logits, masks, Ql, thing_contiguous_ids=[0, 2], topk=5)
+    assert 0 < len(inst) <= 5 and {"category_id", "score", "mask"} <= set(inst[0])
+    assert all(r["category_id"] in (0, 2) for r in inst)
+
+    sem = semantic_inference(logits, masks, Ql)
+    assert sem.shape == (K, 16, 16)
+    assert np.isfinite(sem).all()
+
+    pan, infos = panoptic_inference(
+        logits, masks, Ql, thing_contiguous_ids={0, 2}, object_mask_threshold=0.1
+    )
     assert pan.shape == (16, 16)
     assert all({"id", "isthing", "category_id"} <= set(i) for i in infos)
+    # ids painted in the map appear in segments_info and vice versa
+    painted = set(np.unique(pan)) - {0}
+    assert painted == {i["id"] for i in infos} or len(infos) >= len(painted)
 
 
 def test_semantic_extraction(setup):

@@ -132,6 +132,8 @@ class InferenceConfig:
     consistency_thres: Tuple[float, float] = (0.25, 0.5)
     nms_thres: float = 0.85
     overlap_threshold: float = 0.8  # panoptic area-ratio filter (Base.yaml:62)
+    object_mask_threshold: float = 0.05  # panoptic keep thresh (Base.yaml:63)
+    detections_per_image: int = 100  # image instance top-k (d2 TEST.DETECTIONS_PER_IMAGE)
     max_num_instances: int = 60
     topk_per_video: int = 25
     semantic_extraction_enable: bool = False

@@ -54,6 +54,20 @@ THING_IDS_BY_NAMESPACE = {
         87, 88, 89, 90, 91, 92, 93, 96, 97, 98, 100, 101, 102, 103, 107,
         108, 109, 110, 115, 116, 117, 118, 119, 123, 124,
     }),
+    # COCO panoptic contiguous layout: things first (80), stuff after
+    # (d2 convention, reference register_coco_panoptic_annos_semseg.py)
+    "coco_panoptic": frozenset(range(1, 81)),
+    # ADE20K-150 panoptic isthing flags (reference:
+    # univs/data/datasets/ade20k_panoptic.py — 100 thing classes)
+    "ade20k": frozenset({
+        8, 9, 11, 13, 15, 16, 19, 20, 21, 23, 24, 25, 28, 31, 32, 33, 34,
+        36, 37, 38, 39, 40, 42, 43, 44, 45, 46, 48, 50, 51, 54, 56, 57,
+        58, 59, 63, 65, 66, 67, 68, 70, 71, 72, 73, 74, 75, 76, 77, 79,
+        81, 82, 83, 84, 86, 87, 88, 89, 90, 91, 93, 94, 96, 98, 99, 103,
+        104, 105, 108, 109, 111, 112, 113, 116, 117, 119, 120, 121, 122,
+        124, 125, 126, 127, 128, 130, 131, 133, 134, 135, 136, 137, 138,
+        139, 140, 143, 144, 145, 147, 148, 149, 150,
+    }),
 }
 
 
@@ -132,7 +146,8 @@ _reg("refcoco-unc-val", "refcoco/refcoco-unc/instances_val.json", "coco/train201
 
 # ---- image datasets (pseudo-video) ----------------------------------------
 _reg("coco_panoptic_train", "coco/annotations/panoptic_train2017_cocovid.json", "coco/train2017", "coco", ns="coco_panoptic")
-_reg("ade20k_panoptic_train", "ade20k/ade20k_panoptic_train_cocovid.json", "ade20k/images/training", None, ns="ade20k")
+_reg("coco_panoptic_val", "coco/annotations/panoptic_val2017_cocovid.json", "coco/val2017", "coco", ns="coco_panoptic")
+_reg("ade20k_panoptic_train", "ade20k/ade20k_panoptic_train_cocovid.json", "ade20k/images/training", "coco", ns="ade20k")
 _reg("lvis_v1_train512p", "lvis/lvis_v1_train512p_cocovid.json", "coco", None, ns="lvis")
 _reg("sa_1b_train_250k_1", "sa_1b/sa_1b_250k_1_cocovid.json", "sa_1b/images", None, ns=None)
 _reg("entityseg_instance_train", "entityseg/entityseg_insseg_train_cocovid.json", "entityseg/images", None, ns="entityseg_instance")
@@ -163,7 +178,7 @@ _reg("refcocog-umd-train", "refcoco/refcocog-umd/instances_train.json", "coco/tr
 _reg("refcocog-umd-val", "refcoco/refcocog-umd/instances_val.json", "coco/train2017", None, task="grounding", expr=True)
 _reg("coco_2017_train_video", "coco/annotations/instances_train2017_cocovid.json", "coco/train2017", "coco", ns="coco")
 _reg("coco_2017_val_video", "coco/annotations/instances_val2017_cocovid.json", "coco/val2017", "coco", ns="coco")
-_reg("ade20k_panoptic_val", "ade20k/ade20k_panoptic_val_cocovid.json", "ade20k/images/validation", None, ns="ade20k")
+_reg("ade20k_panoptic_val", "ade20k/ade20k_panoptic_val_cocovid.json", "ade20k/images/validation", "coco", ns="ade20k")
 _reg("objects365_train", "objects365/objects365_train_cocovid.json", "objects365/train", None, ns="objects365")
 _reg("bdd_track_train", "bdd100k/box_track_train_cocovid.json", "bdd100k/images/track/train", None, ns="bdd_track")
 _reg("bdd_track_val", "bdd100k/box_track_val_cocovid.json", "bdd100k/images/track/val", None, ns="bdd_track")

@@ -53,6 +53,9 @@ def evaluate_dataset(
     if spec.evaluator_type == "vps":
         return _eval_vps(cfg, params, records, mapper, cls_bank,
                          thing_ids=set(spec.thing_ids or ()), output_dir=output_dir)
+    if spec.evaluator_type == "coco":
+        return _eval_image(cfg, params, records, mapper, cls_bank,
+                           thing_ids=set(spec.thing_ids or ()), output_dir=output_dir)
     raise NotImplementedError(f"evaluator {spec.evaluator_type} for {dataset_name}")
 
 
@@ -184,6 +187,95 @@ def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids, output_dir=None
     out = {"VPQ": float(np.mean(vpqs))}
     out.update(stq.result())
     out["fps"] = total_frames / max(time.time() - t0, 1e-6)
+    return out
+
+
+def _eval_image(cfg, params, records, mapper, cls_bank, thing_ids, output_dir=None):
+    """COCO/ADE20K image instance / semantic / panoptic evaluation over
+    1-frame pseudo-video records (reference:
+    inference_image_generic_seg.py:176-449 + the evaluator dispatch in
+    train_net.py:111-165 — COCOEvaluator mask AP, COCOPanopticEvaluator
+    PQ, SemSegEvaluator mIoU).
+
+    ``thing_ids``: 1-based thing category ids; empty -> pure instance
+    dataset (every class a thing, AP only)."""
+    from univs_tpu.evaluation.panoptic import PQStat
+    from univs_tpu.evaluation.vss import confusion_matrix, miou_from_confusion
+    from univs_tpu.evaluation.ytvis import YTVISEval
+    from univs_tpu.inference.image import (
+        ImageDriver, instance_inference, panoptic_inference, semantic_inference,
+    )
+    from univs_tpu.utils import rle
+
+    K = cls_bank.shape[0]
+    panoptic_mode = bool(thing_ids) and len(thing_ids) < K  # stuff exists
+    thing_contig = {t - 1 for t in thing_ids} if thing_ids else set(range(K))
+    inf = cfg.inference
+
+    driver = ImageDriver(cfg, params, num_classes=K)
+    cls_emb = jnp.asarray(cls_bank, jnp.float32)
+    Ql = cfg.decoder.num_queries
+    pq = PQStat()
+    cm = np.zeros((K, K), np.int64)
+    preds: List[Dict] = []
+    gts: List[Dict] = []
+    t0, total = time.time(), 0
+    for rec in records:
+        s = mapper(rec)
+        mask_cls, mask_pred = driver.run(
+            s["images"][:1], cls_emb, s["image_size"], s["out_size"]
+        )
+        img_id = rec["video_id"]
+        inst = instance_inference(
+            mask_cls, mask_pred, Ql,
+            thing_contiguous_ids=sorted(thing_contig) if panoptic_mode else None,
+            topk=inf.detections_per_image,
+        )
+        for r in inst:
+            preds.append({
+                "video_id": img_id, "score": r["score"],
+                "category_id": r["category_id"],
+                "segmentations": [rle.encode(r["mask"])],
+                "height": s["out_size"][0], "width": s["out_size"][1],
+            })
+        for ann in rec.get("annotations", []):
+            if panoptic_mode and (ann["category_id"] - 1) not in thing_contig:
+                continue  # instance AP is over thing classes only
+            gts.append({
+                "video_id": img_id,
+                "category_id": ann["category_id"] - 1,
+                "id": ann["id"],
+                "segmentations": ann["segmentations"],
+                "iscrowd": ann.get("iscrowd", 0),
+            })
+        if panoptic_mode:
+            pan, infos = panoptic_inference(
+                mask_cls, mask_pred, Ql, thing_contig,
+                object_mask_threshold=inf.object_mask_threshold,
+                overlap_threshold=inf.overlap_threshold,
+            )
+            gt_lab, gt_cats = _gt_label_maps(rec, sem=False)
+            gt_segments = [
+                {"id": ann["id"], "category_id": gt_cats[ann["id"]],
+                 "iscrowd": ann.get("iscrowd", 0)}
+                for ann in rec["annotations"] if ann["id"] in gt_cats
+            ]
+            pq.update(gt_lab[0], gt_segments, pan, infos)
+            sem = semantic_inference(mask_cls, mask_pred, Ql).argmax(0)
+            gt_sem = _gt_label_maps(rec, sem=True)[0][0]
+            cm += confusion_matrix(gt_sem[None], sem[None], K)
+        total += 1
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "image_results.json"), "w") as f:
+            json.dump(preds, f)
+    out = YTVISEval(gts, preds).evaluate()  # T=1 video AP == COCO mask AP
+    out = {"AP": out.get("AP", float("nan")), "AP50": out.get("AP50", float("nan"))}
+    if panoptic_mode:
+        out.update(pq.result(thing_ids={t - 1 for t in thing_ids}))
+        miou, macc, _ = miou_from_confusion(cm)
+        out.update({"mIoU": miou, "mAcc": macc})
+    out["fps"] = total / max(time.time() - t0, 1e-6)
     return out
 
 

@@ -6,9 +6,8 @@ Rebuilds of:
   inference_video_vis_fast.py:39-524): per-clip forward, frame-to-frame
   Hungarian matching on learnable query embeddings (bisoftmax
   similarity), overlapping-clip mask averaging;
-- ``InferenceImageGenericSegmentation`` (reference: inference_image_
-  generic_seg.py:36-449): COCO/ADE20K instance / semantic / panoptic
-  post-processing of learnable queries;
+  (image generic segmentation lives in univs_tpu/inference/image.py —
+  exact transcription of inference_image_generic_seg.py);
 - ``InferenceVideoSemanticExtraction`` (reference: inference_video_
   semantic_extraction.py:53-330): per-frame 200 object tokens +
   compressed mask features for downstream video-generation work.
@@ -109,6 +108,80 @@ class FastVISDriver:
         ]
 
 
+class MDQEVISDriver(FastVISDriver):
+    """Clip-level VIS with the MDQE over-tracker (reference:
+    univs/inference/inference_video_vis.py:39 with tracker_type='mdqe'
+    driving MDQE_OverTrackerEfficient) — per-clip learnable-query
+    outputs, score-thresholded into tracker clips, window-resident
+    matching + rollover, per-window emission."""
+
+    def run(self, frames: np.ndarray, cls_emb, score_thres: float = 0.05,
+            window_track: Optional[int] = None, topk: int = 25) -> List[Dict]:
+        from univs_tpu.inference.trackers import MDQETracker
+
+        V = frames.shape[0]
+        T = self.T
+        stride = self.cfg.inference.clip_stride
+        W = window_track or max(T * 2, 10)
+        frames_j = jnp.asarray(frames, jnp.float32)
+        tracker = MDQETracker(
+            num_classes=int(cls_emb.shape[0]), num_frames=T,
+            num_frames_window_track=W, clip_stride=stride,
+            embed_dim=self.cfg.decoder.hidden_dim,
+            apply_cls_thres=self.cfg.inference.apply_cls_thres,
+            data_name="ytvis",
+        )
+        results: Dict[int, Dict] = {}  # obj_id -> {frames: {f: mask}, cls: []}
+        window_start = 0
+        first = True
+        i = 0
+        while i < V:
+            idx = np.minimum(np.arange(i, i + T), V - 1)
+            logits, masks, embds = self._clip_fn(
+                self.params, frames_j[idx], jnp.asarray(idx), cls_emb
+            )
+            logits = np.asarray(logits)
+            masks = np.asarray(masks)
+            embds = np.asarray(embds)
+            keep = logits.max(-1) > score_thres
+            if keep.sum() == 0:
+                keep[np.argmax(logits.max(-1))] = True
+            clip = {
+                "scores": logits.max(-1)[keep],
+                "mask_logits": masks[keep],
+                "cls_probs": logits[keep],
+                "query_embeds": embds[keep],
+                "frame_idx": list(range(i - window_start, i - window_start + T)),
+            }
+            tracker.update(clip, is_first_clip=first)
+            first = False
+            nxt = i + stride
+            is_last = nxt + T > V + T - 1 or nxt >= V
+            if (nxt - window_start) + T > tracker.mem_length or is_last:
+                out = tracker.get_result(is_last_clip=is_last)
+                for k, oid in enumerate(np.asarray(out["obj_ids"])):
+                    r = results.setdefault(int(oid), {"frames": {}, "cls": []})
+                    r["cls"].append(np.asarray(out["pred_cls_scores"][k]))
+                    for t in range(out["pred_masks"].shape[1]):
+                        f = window_start + t
+                        if f < V:
+                            r["frames"][f] = np.asarray(out["pred_masks"][k, t])
+                window_start += tracker.window_frames
+            if is_last:
+                break
+            i = nxt
+        final = []
+        for oid, r in results.items():
+            score = np.mean(r["cls"], axis=0)
+            final.append({
+                "track_id": oid, "score": score,
+                "category_id": int(score.argmax()),
+                "masks": r["frames"],
+            })
+        final.sort(key=lambda r: -float(np.max(r["score"])))
+        return final[:topk]
+
+
 class FastVPSDriver(FastVISDriver):
     """Non-unified online VPS: per-clip learnable-query outputs matched
     across clips by a host-side tracker, then panoptic stitching
@@ -158,73 +231,6 @@ class FastVPSDriver(FastVISDriver):
                 pan[t][m] = memory[key]
                 taken |= m
         return pan, infos
-
-
-def image_instance_postprocess(
-    logits: np.ndarray,  # [Q, K] sigmoid scores
-    masks: np.ndarray,  # [Q, H, W] logits
-    topk: int = 100,
-) -> List[Dict]:
-    """COCO-style instance results from one image's learnable queries
-    (reference: inference_image_generic_seg.py instance path)."""
-    Q, K = logits.shape
-    flat = logits.reshape(-1)
-    k = min(topk, flat.size)
-    top = np.argsort(-flat)[:k]
-    out = []
-    for t in top:
-        q, c = divmod(int(t), K)
-        m = masks[q] > 0
-        mask_score = (1 / (1 + np.exp(-masks[q])))[m].mean() if m.any() else 0.0
-        out.append({
-            "category_id": c, "score": float(flat[t] * mask_score), "mask": m.astype(np.uint8),
-        })
-    return out
-
-
-def image_semantic_postprocess(logits: np.ndarray, masks: np.ndarray) -> np.ndarray:
-    """Semantic map via class-weighted mask vote (reference semantic
-    path: einsum(qc,qhw->chw) argmax)."""
-    prob = 1 / (1 + np.exp(-masks))
-    sem = np.einsum("qc,qhw->chw", logits, prob)
-    return sem.argmax(0)
-
-
-def image_panoptic_postprocess(
-    logits: np.ndarray, masks: np.ndarray, thing_ids, object_thres: float = 0.25,
-    overlap_thres: float = 0.8,
-) -> Tuple[np.ndarray, List[Dict]]:
-    """Panoptic stitching (Mask2Former-style argmax with overlap
-    filtering; reference panoptic path)."""
-    scores = logits.max(-1)
-    classes = logits.argmax(-1)
-    keep = scores > object_thres
-    prob = 1 / (1 + np.exp(-masks))
-    weighted = prob * scores[:, None, None] * keep[:, None, None]
-    owner = weighted.argmax(0)
-    bg = (prob < 0.5).all(0) | ~keep[owner]
-    pan = np.zeros(masks.shape[-2:], np.int32)
-    infos = []
-    seg_id = 0
-    stuff_memory = {}
-    for q in np.argsort(-scores):
-        if not keep[q]:
-            continue
-        m = (owner == q) & (prob[q] > 0.5) & ~bg
-        orig = (prob[q] > 0.5).sum()
-        if m.sum() == 0 or orig == 0 or m.sum() / orig < overlap_thres * 0.5:
-            continue
-        c = int(classes[q])
-        isthing = (c + 1) in thing_ids
-        if not isthing and c in stuff_memory:
-            pan[m] = stuff_memory[c]
-            continue
-        seg_id += 1
-        pan[m] = seg_id
-        if not isthing:
-            stuff_memory[c] = seg_id
-        infos.append({"id": seg_id, "isthing": isthing, "category_id": c + 1})
-    return pan, infos
 
 
 class SemanticExtractionDriver:
