@@ -38,6 +38,17 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def frame_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, T, ...] video tensors: batch over data, FRAMES over model.
+
+    The backbone + pixel decoder are per-frame (the clip couples only
+    at the UniVS decoder), so sharding T over the model axis splits the
+    dominant encoder work across it — the activation-sharding rule that
+    makes a (d, m) mesh useful for Swin-L 1024² — and XLA all-gathers
+    the per-frame features over ICI at the decoder boundary."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -29,7 +29,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from univs_tpu.config import UniVSConfig
 from univs_tpu.losses.criterion import TrainTargets, UniCriterion
-from univs_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated_sharding
+from univs_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    frame_sharding,
+    replicated_sharding,
+)
 from univs_tpu.structures import TextPrompts
 
 
@@ -235,15 +241,25 @@ def make_train_step(
 
     rep = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    fsh = frame_sharding(mesh)
+    model_size = mesh.shape[MODEL_AXIS] if MODEL_AXIS in mesh.shape else 1
 
     # shard: state replicated, per-video batch leaves on the data axis,
-    # shared banks (no leading B) replicated
+    # shared banks (no leading B) replicated.  With a model axis >1 the
+    # images' FRAME axis shards over it (per-frame encoder split — see
+    # parallel/mesh.py frame_sharding).
     def batch_spec(batch):
-        B = batch.images.shape[0]
-        return jax.tree.map(
-            lambda x: bsh if (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B) else rep,
-            batch,
-        )
+        B, T = batch.images.shape[:2]
+        img_sh = fsh if (model_size > 1 and T % model_size == 0) else bsh
+
+        def leaf_spec(x):
+            if not (hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B):
+                return rep
+            if x is batch.images:
+                return img_sh
+            return bsh
+
+        return jax.tree.map(leaf_spec, batch)
 
     jitted = jax.jit(
         train_step,
