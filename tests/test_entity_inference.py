@@ -96,3 +96,53 @@ def test_two_clip_steps(setup):
     assert float(pool2.logits_count.max()) >= 1
     # occurrences accumulated within the window
     assert float(pool2.occurrence.sum()) > 0
+
+
+def test_detect_newly_interval_frames(setup):
+    """DETECT_NEWLY_INTERVAL_FRAMES (inference_video_entity.py:366):
+    newly-entity admission runs only every k-th clip — except the pool
+    is empty, which always admits."""
+    cfg, model, params, images, cls_emb = setup
+    T = 2
+    E, R = 6, 8
+    cc = EntityClipConfig(
+        num_queries=cfg.decoder.num_queries, topk_candidates=4,
+        num_prev_frames_memory=3, apply_cls_thres=0.0, newly_thres=0.1,
+        consistency_thres=-1.0, num_dense_points=R, clip_stride=1,
+        num_frames=T, detect_newly_interval_frames=2,
+    )
+    pool = mp.create_entity_memory(
+        E, cls_emb.shape[0], cfg.decoder.hidden_dim, (16, 24),
+        window=6, num_prompt_points=R, embd_history=4, prompt_history=4,
+    )
+    from univs_tpu.models.univs import build_decoder, build_pixel_decoder
+
+    modules = (build_pixel_decoder(cfg), build_decoder(cfg))
+    bb = model.apply(
+        {"params": params}, images.reshape(T, 64, 96, 3),
+        method=lambda m, y: m.backbone(m.normalize(y)),
+    )
+    mf, _, _, ms = modules[0].apply({"params": params["pixel_decoder"]}, bb)
+    feats = (mf, tuple(ms))
+    step = jax.jit(
+        lambda params, feats, pool, fi, off, first, cls_emb: entity_clip_step(
+            modules, params, feats, pool, fi, off, first, cls_emb, cc
+        )
+    )
+    # clip 0 (index 0 % 2 == 0, and pool empty): admits
+    pool1, _ = step(params, feats, pool, jnp.arange(T), jnp.int32(0),
+                    jnp.bool_(True), cls_emb)
+    n1 = int(pool1.valid.sum())
+    assert n1 > 0
+    # clip 1 (index 1 % 2 != 0, pool non-empty): NO new admissions; the
+    # prompt-query tracking update still runs (occurrence accumulates)
+    pool1s = mp.shift_clip(pool1, stride=1)
+    pool2, _ = step(params, feats, pool1s, jnp.arange(1, T + 1), jnp.int32(1),
+                    jnp.bool_(False), cls_emb)
+    assert int(pool2.valid.sum()) == n1
+    # clip 2 (index 2 % 2 == 0): admission active again — pool state
+    # after the gate equals a full detect step (>= previous count)
+    pool2s = mp.shift_clip(pool2, stride=1)
+    pool3, _ = step(params, feats, pool2s, jnp.arange(2, T + 2), jnp.int32(2),
+                    jnp.bool_(False), cls_emb)
+    assert int(pool3.valid.sum()) >= n1

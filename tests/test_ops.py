@@ -105,6 +105,30 @@ def test_msda_tent_kernel_matches_oracle_interpret():
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4, rtol=1e-4)
 
 
+def test_msda_tent_int8_slab_interpret():
+    """int8-slab tent variant vs the oracle: quantization error is
+    bounded by ~|v|_max/127 per sample (plus the x-tent's own /127)."""
+    from univs_tpu.ops.deformable_attention import ms_deform_attn_tent
+
+    rng = np.random.RandomState(7)
+    shapes = ((6, 8), (3, 4))
+    S = sum(h * w for h, w in shapes)
+    N, M, D, Lq, P = 2, 4, 8, 7, 3
+    L = len(shapes)
+    value = rng.randn(N, S, M, D).astype(np.float32)
+    loc = rng.uniform(-0.2, 1.2, size=(N, Lq, M, L, P, 2)).astype(np.float32)
+    w = rng.rand(N, Lq, M, L, P).astype(np.float32)
+    w /= w.reshape(N, Lq, M, -1).sum(-1)[..., None, None]
+    expected = _torch_msda_oracle(value, shapes, loc, w)
+    got = ms_deform_attn_tent(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(w),
+        interpret=True, int8_slab=True,
+    )
+    scale = np.abs(expected).max()
+    err = np.abs(np.asarray(got) - expected).max() / scale
+    assert err < 0.05, f"int8 rel-err {err:.4f} exceeds quantization bound"
+
+
 def test_msda_dispatch_and_grad():
     """impl='gather' on CPU; the tent custom_vjp backward (gather vjp)
     produces the same gradients as differentiating the gather impl."""

@@ -88,6 +88,72 @@ def test_vos_two_clips():
         assert bool(jnp.isfinite(aux_m["sim"]).all()), mode
 
 
+def test_grounding_prev_visual_prompts_flag():
+    """ENABLED_PREV_VISUAL_PROMPTS_FOR_GROUNDING (decoder_univs.py:736-748):
+    with the flag on, a committed memory pool's visual prompt kv is
+    concatenated ahead of the text kv and changes the RefVOS outputs."""
+    cfg = tiny_test_config()
+    T, H, W = 2, 64, 96
+    N, R = 2, 8
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(1, T, H, W, 3) * 255, jnp.float32)
+    fi0 = jnp.arange(T)[None]
+    Dt = cfg.decoder.clip_cls_emb_dim
+    L = 4  # sentence + 3 word tokens
+    text_embs = jnp.asarray(rng.randn(1, N, L, Dt), jnp.float32)
+    tp = TextPrompts(embs=text_embs, valid=jnp.ones((1, N), bool))
+    cls_emb = jnp.asarray(rng.randn(3, Dt), jnp.float32)
+
+    model = UniVSModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, images, fi0,
+        task="grounding", text_prompts=tp, cls_emb=cls_emb,
+    )["params"]
+    modules = (build_pixel_decoder(cfg), build_decoder(cfg))
+    bb = model.apply(
+        {"params": params}, images.reshape(T, H, W, 3),
+        method=lambda m, y: m.backbone(m.normalize(y)),
+    )
+    mf, _, _, ms = modules[0].apply({"params": params["pixel_decoder"]}, bb)
+    feats = (mf, tuple(ms))
+    sub = {"pixel_decoder": params["pixel_decoder"], "decoder": params["decoder"]}
+
+    def make_pool():
+        pool = mp.create_entity_memory(
+            N, 3, cfg.decoder.hidden_dim, (16, 24), window=6,
+            num_prompt_points=R, embd_history=4, prompt_history=4,
+        )
+        # commit pseudo-GT masks (as the first grounding clip would)
+        logits = np.full((N, 6, 16, 24), -10.0, np.float32)
+        logits[0, 0, 2:8, 2:10] = 10.0
+        logits[1, 0, 9:14, 12:20] = 10.0
+        return pool.replace(
+            mask_logits=jnp.asarray(logits),
+            valid=jnp.ones((N,), bool),
+            first_appear=jnp.zeros((N,), jnp.int32),
+            occurrence=jnp.asarray((logits > 0).any((-2, -1)), jnp.float32),
+        )
+
+    outs = {}
+    for flag in (False, True):
+        cc = EntityClipConfig(
+            num_queries=cfg.decoder.num_queries, num_prev_frames_memory=3,
+            num_dense_points=R, clip_stride=1, num_frames=T,
+            prev_visual_prompts_for_grounding=flag,
+        )
+        step = jax.jit(
+            lambda params, feats, pool, fi, off, cls_emb, cc=cc: vos_clip_step(
+                modules, params, feats, pool, fi, off, cls_emb, cc,
+                text_prompts=tp, task="grounding",
+            )
+        )
+        pool_o, aux = step(sub, feats, make_pool(), jnp.arange(T), jnp.int32(0), cls_emb)
+        assert bool(jnp.isfinite(pool_o.mask_logits).all()), flag
+        outs[flag] = np.asarray(pool_o.mask_logits, np.float32)
+    # the concatenated visual kv must actually influence the decode
+    assert not np.allclose(outs[False], outs[True])
+
+
 def test_match_learn_first_appear_picks_best_query():
     from univs_tpu.inference.vos import match_learn_first_appear
 

@@ -78,7 +78,7 @@ def test_run_vps_matches_reference_stitching():
     win = (rng.randn(E, V, H // 4, W // 4) * 3).astype(np.float16)
     scores = rng.rand(E, K).astype(np.float32)
     valid = np.array([True, True, True])
-    driver._stream = lambda frames, cls_emb, divide: (
+    driver._stream = lambda frames, cls_emb, divide, thing_mask=None: (
         [win], [0], [scores], [valid], None
     )
     thing_ids = {1, 3}  # classes 1 and 3 are things (1-based)

@@ -129,6 +129,7 @@ class InferenceConfig:
     # thresholds (reference: inference_video_entity.py)
     apply_cls_thres: float = 0.25
     newly_entity_thres: float = 0.1
+    detect_newly_interval_frames: int = 1  # TEST.DETECT_NEWLY_INTERVAL_FRAMES
     consistency_thres: Tuple[float, float] = (0.25, 0.5)
     nms_thres: float = 0.85
     overlap_threshold: float = 0.8  # panoptic area-ratio filter (Base.yaml:62)
@@ -141,6 +142,10 @@ class InferenceConfig:
     # (reference: VIDEO_UNIFIED_INFERENCE_QUERIES,
     #  inference_video_vos.py:337-496)
     video_unified_inference_queries: str = "prompt"
+    # RefVOS: concat prev-clip visual prompt kv ahead of the text kv
+    # (reference MODEL.UniVS.TEST.ENABLED_PREV_VISUAL_PROMPTS_FOR_GROUNDING,
+    #  decoder_univs.py:628,736-748; default off)
+    enabled_prev_visual_prompts_for_grounding: bool = False
 
 
 @dataclass(frozen=True)

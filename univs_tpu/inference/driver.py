@@ -177,6 +177,7 @@ class EntityDriver:
             num_dense_points=cfg.prompt.num_dense_points_test,
             clip_stride=self.stride,
             num_frames=self.T,
+            detect_newly_interval_frames=inf.detect_newly_interval_frames,
         )
         dtype = compute_dtype_of(cfg)
         self._backbone = build_backbone(cfg.backbone, dtype=dtype)
@@ -303,35 +304,10 @@ class EntityDriver:
         emitted, emit_starts, emit_scores, _, pool = self._stream(
             frames, cls_emb, divide=True
         )
-
-        # assemble per-entity results
-        valid = np.asarray(pool.valid)
-        quality_sum = np.asarray(pool.quality_sum)
-        # reference: res['mask_quality_score'] = q_i / (int(q.max()) + 1)
-        # at the last window (inference_video_entity.py:958)
-        quality = quality_sum / (int(quality_sum.max()) + 1)
-        results = []
-        for e in range(self.capacity):
-            if not valid[e]:
-                continue
-            segs = [None] * V
-            for win_masks, start in zip(emitted, emit_starts):
-                m = win_masks[e]  # [n, H4, W4] fp16 logits
-                up = _upsample_and_threshold(m, image_size, out_size, (H, W))
-                for k in range(up.shape[0]):
-                    if start + k < V:
-                        segs[start + k] = rle.encode(up[k])
-            blank = rle.encode(np.zeros(out_size, np.uint8))
-            segs = [s if s is not None else blank for s in segs]
-            score_windows = np.stack([s[e] for s in emit_scores])  # [W, K]
-            results.append({
-                "obj_id": e,
-                "score_windows": score_windows,
-                "score": combine_window_scores(score_windows.copy()),
-                "mask_quality_score": float(quality[e]),
-                "segmentations": segs,
-            })
-        return results
+        return assemble_vis_results(
+            emitted, emit_starts, emit_scores, np.asarray(pool.valid),
+            np.asarray(pool.quality_sum), V, image_size, out_size, (H, W),
+        )
 
 
     # ------------------------------------------------------------------
@@ -604,6 +580,9 @@ class VOSDriver:
             num_prev_frames_memory=cfg.prompt.num_prev_frames_memory,
             num_dense_points=cfg.prompt.num_dense_points_test,
             clip_stride=self.stride, num_frames=self.T,
+            prev_visual_prompts_for_grounding=(
+                inf.enabled_prev_visual_prompts_for_grounding
+            ),
         )
         dtype = compute_dtype_of(cfg)
         self._backbone = build_backbone(cfg.backbone, dtype=dtype)
@@ -788,6 +767,39 @@ def _upsample_and_threshold(mask_logits: np.ndarray, image_size, out_size, padde
     m = m[:, :, : image_size[0], : image_size[1]]
     m = F.interpolate(m, size=out_size, mode="bilinear", align_corners=False)
     return (m[0] > 0).numpy().astype(np.uint8)
+
+
+def assemble_vis_results(emitted, emit_starts, emit_scores, valid, quality_sum,
+                         V, image_size, out_size, padded_size) -> List[Dict]:
+    """Per-entity result dicts from emitted mask windows (the host half
+    of ``save_results_vis``, inference_video_entity.py:914-961).  Shared
+    by the single-video driver and the batched server."""
+    capacity = valid.shape[0]
+    # reference: res['mask_quality_score'] = q_i / (int(q.max()) + 1)
+    # at the last window (inference_video_entity.py:958)
+    quality = quality_sum / (int(quality_sum.max()) + 1)
+    results = []
+    for e in range(capacity):
+        if not valid[e]:
+            continue
+        segs = [None] * V
+        for win_masks, start in zip(emitted, emit_starts):
+            m = win_masks[e]  # [n, H4, W4] fp16 logits
+            up = _upsample_and_threshold(m, image_size, out_size, padded_size)
+            for k in range(up.shape[0]):
+                if start + k < V:
+                    segs[start + k] = rle.encode(up[k])
+        blank = rle.encode(np.zeros(out_size, np.uint8))
+        segs = [s if s is not None else blank for s in segs]
+        score_windows = np.stack([s[e] for s in emit_scores])  # [W, K]
+        results.append({
+            "obj_id": e,
+            "score_windows": score_windows,
+            "score": combine_window_scores(score_windows.copy()),
+            "mask_quality_score": float(quality[e]),
+            "segmentations": segs,
+        })
+    return results
 
 
 def temporal_consistency_weighting(scores: np.ndarray) -> np.ndarray:

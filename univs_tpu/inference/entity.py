@@ -66,6 +66,14 @@ class EntityClipConfig:
     # newly-entity detection variant: 'instance' (VIS) or 'pixel'
     # (VPS panoptic — reference dispatch inference_video_entity.py:367-370)
     variant: str = "instance"
+    # RefVOS: concat prev-clip visual prompt kv ahead of the text kv
+    # (reference MODEL.UniVS.TEST.ENABLED_PREV_VISUAL_PROMPTS_FOR_GROUNDING,
+    #  decoder_univs.py:628,736-748; default off)
+    prev_visual_prompts_for_grounding: bool = False
+    # run newly-entity detection only every k-th clip (or when the pool
+    # is empty) — reference DETECT_NEWLY_INTERVAL_FRAMES,
+    # inference_video_entity.py:366
+    detect_newly_interval_frames: int = 1
 
 
 def entity_clip_step(
@@ -161,15 +169,24 @@ def entity_clip_step(
 
     # ---- step 2: detect newly entities from learnable queries ---------
     if cc.variant == "pixel":
-        pool = _detect_newly_pixel(
+        pool_new = _detect_newly_pixel(
             pool, clip_offset, frame_indices, is_first_clip,
             logits_l, masks_l, embds_l, thing_mask, cc,
         )
     else:
-        pool = _detect_newly_instance(
+        pool_new = _detect_newly_instance(
             pool, clip_offset, frame_indices, is_first_clip,
             logits_l, masks_l, embds_l, cc,
         )
+    if cc.detect_newly_interval_frames > 1:
+        # every k-th clip only, or whenever the pool is empty
+        # (inference_video_entity.py:366: `i % interval == 0 or
+        #  targets[0]["masks"].nelement() == 0`)
+        clip_idx = frame_indices[0] // max(cc.clip_stride, 1)
+        allow = (clip_idx % cc.detect_newly_interval_frames == 0) | ~pool.valid.any()
+        pool = jax.tree.map(lambda a, b: jnp.where(allow, a, b), pool_new, pool)
+    else:
+        pool = pool_new
 
     emit = {
         "logits_mean": pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None],
@@ -195,7 +212,7 @@ def _detect_newly_instance(
     scored = logits_l * q_l[:, None]
     cand_ok = q_l > cc.stability_thres if cc.stability_thres > 0 else jnp.ones((Ql,), bool)
     nms_scores = jnp.where(cand_ok, scored.max(-1), -1.0)
-    top_vals, top_idx = jax.lax.top_k(nms_scores, cc.topk_candidates)
+    top_vals, top_idx = jax.lax.top_k(nms_scores, min(cc.topk_candidates, Ql))
     c_logits = scored[top_idx]
     c_masks = masks_l[top_idx]
     c_embds = embds_l[top_idx]
@@ -235,7 +252,7 @@ def _detect_newly_instance(
     # newly = unmatched, confident, low overlap with existing masks (:641-646)
     win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
     pool_bin = (win > 0).reshape(E, -1)
-    cand_bin = (c_masks > 0).reshape(cc.topk_candidates, -1)
+    cand_bin = (c_masks > 0).reshape(c_masks.shape[0], -1)
     inter = (cand_bin[:, None] & pool_bin[None]).sum(-1)
     union = jnp.maximum(cand_bin.sum(-1)[:, None] + pool_bin.sum(-1)[None] - inter, 1)
     miou_max = jnp.where(pool.valid[None], inter / union, 0.0).max(-1)

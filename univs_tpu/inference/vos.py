@@ -125,9 +125,30 @@ def vos_clip_step(
     )
 
     if task == "grounding" and text_prompts is not None:
+        vp = None
+        if cc.prev_visual_prompts_for_grounding:
+            # concat prev-clip visual prompt kv ahead of the text kv
+            # (decoder_univs.py:736-748).  On the first clip the pool is
+            # uncommitted, so the visual entries are zeros — ProCA
+            # zero-bias tokens (the reference's blank-entry law); the
+            # reference skips the concat entirely there ('masks' not yet
+            # in targets), a static-shape deviation documented here.
+            kv, kv_pe, kv_valid = mp.read_prompt_kv(pool, cc.num_prev_frames_memory)
+            L = kv.shape[1]
+            C = kv.shape[-1]
+            queries, query_pos = mp.read_clip_queries(pool, T)
+            vp = VisualPrompts(
+                queries=queries[None],
+                query_pos=query_pos[None],
+                kv=jnp.broadcast_to(kv[None, :, :, None], (1, N, L, T, C)),
+                kv_pe=None,
+                kv_valid=jnp.broadcast_to(kv_valid[None, :, :, None], (1, N, L, T)),
+                valid=pool.valid[None],
+            )
         out = decoder.apply(
             {"params": params["decoder"]},
             ms, mask_features, fi, task="grounding", text_prompts=text_prompts,
+            visual_prompts=vp,
         )
     else:
         kv, kv_pe, kv_valid = mp.read_prompt_kv(pool, cc.num_prev_frames_memory)

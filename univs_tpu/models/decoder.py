@@ -393,6 +393,21 @@ class UniVSDecoder(nn.Module):
             q, qp, kv, kv_valid, aux_l2v = self._encode_text_prompts(
                 text_prompts, src_all, task, b, t, need_l2v_weights=train
             )
+            if task == "grounding" and visual_prompts is not None:
+                # ENABLED_PREV_VISUAL_PROMPTS_FOR_GROUNDING
+                # (decoder_univs.py:628,736-748): prev-clip visual dense
+                # kv concatenated AHEAD of the text tokens per
+                # expression; kv_pe stays None because the text path has
+                # no pe (the reference skips the pe concat when either
+                # side is None).  Blank visual entries are zero vectors
+                # -> ProCA zero-bias tokens, the reference's blank law.
+                kv = jnp.concatenate(
+                    [visual_prompts.kv.astype(kv.dtype), kv], axis=2
+                )
+                kv_valid = jnp.concatenate(
+                    [visual_prompts.kv_valid.astype(kv_valid.dtype), kv_valid],
+                    axis=2,
+                )
             prompts = VisualPrompts(
                 queries=q, query_pos=qp, kv=kv, kv_pe=None,
                 kv_valid=kv_valid, valid=text_prompts.valid,

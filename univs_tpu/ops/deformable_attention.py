@@ -232,14 +232,21 @@ def _tent_block_size(DH: int) -> int:
     return 512
 
 
-def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, P: int, dtype):
+def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, P: int, dtype,
+                 int8_slab: bool = False):
     DH = D * H
     BQ = bq // P  # output rows (queries) per block; input rows are (q, p)
 
-    def kernel(x_ref, y_ref, wa_ref, v_ref, o_ref):
+    def kernel(x_ref, y_ref, wa_ref, v_ref, *rest):
         # x/y/wa: [1, bq, M] pixel coords + attention weight per row
         # (rows are point-minor: row = q*P + p)
         # v: [1, M, W, D*H] (x contracted first; lanes are d-major, j-minor)
+        # int8_slab: v is int8; the T1 contraction runs on the int8 MXU
+        # path (2x bf16 rate on v5e) with int32 accumulation.  The
+        # per-(batch, head) dequant scale commutes through the y tents
+        # and both grouping matmuls (all linear in t1, and the output
+        # keeps the head axis), so it is applied OUTSIDE the kernel.
+        (o_ref,) = rest
         xio = jax.lax.broadcasted_iota(jnp.int32, (bq, W), 1).astype(jnp.float32)
         # y tent built tiled directly: lane l of the [bq, D*H] plane is
         # (d = l // H, j = l % H)
@@ -263,10 +270,19 @@ def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, P: int, dtype):
             # value dtype — same weight precision as the gather path.
             # the attention weight multiplies the NARROW x-tent ([bq, W])
             # rather than the [bq, D*H] y-plane
-            mx = (jnp.maximum(1.0 - jnp.abs(xio - x), 0.0) * wa).astype(dtype)  # [bq, W]
-            t1 = jnp.dot(
-                mx, v_ref[0, m], preferred_element_type=jnp.float32
-            )  # [bq, D*H] (f32 MXU accumulate)
+            mx_f = jnp.maximum(1.0 - jnp.abs(xio - x), 0.0) * wa  # [bq, W]
+            if int8_slab:
+                # x-tent quantized at scale 127 (values in [0, 1]);
+                # raw int32 counts flow on — descaled outside
+                mx_q = jnp.round(mx_f * 127.0).astype(jnp.int8)
+                t1 = jnp.dot(
+                    mx_q, v_ref[0, m], preferred_element_type=jnp.int32
+                ).astype(jnp.float32)  # [bq, D*H]
+            else:
+                mx = mx_f.astype(dtype)
+                t1 = jnp.dot(
+                    mx, v_ref[0, m], preferred_element_type=jnp.float32
+                )  # [bq, D*H] (f32 MXU accumulate)
             my_tile = jnp.maximum(1.0 - jnp.abs(jio - y), 0.0)  # [bq, D*H] f32
             p2 = (my_tile * t1).astype(dtype)
             per_row = jnp.dot(p2, G, preferred_element_type=jnp.float32)  # [bq, D]
@@ -277,13 +293,19 @@ def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, P: int, dtype):
     return kernel
 
 
-def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, P: int, *, interpret=False):
+def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, P: int, *, interpret=False,
+                     int8_slab: bool = False):
     """One level's attention-weighted, point-summed bilinear samples.
 
     slab_xmajor [N, M, W, D*H] (element (x; d, j) = V[j, x, d]);
     xs/ys/was [N, R, M] pixel coords + attention weights per sample row,
     rows point-minor (row = q*P + p).
     Returns [N, R//P, M, D] f32: sum over each query's P points.
+
+    ``int8_slab``: quantize the value slab per (batch, head) to int8 and
+    run the T1 contraction on the int8 MXU path (~2x bf16 rate on v5e);
+    the x-tent weights quantize at scale 127.  Expected error
+    ~|v|_max/127 per sample — a flagged trade, see docs/PERFORMANCE.md.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -301,22 +323,41 @@ def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, P: int, *, interpret=Fals
         ys = jnp.concatenate([ys, jnp.full((n, pad, m), -10.0, ys.dtype)], axis=1)
         was = jnp.concatenate([was, jnp.zeros((n, pad, m), was.dtype)], axis=1)
     Rp = R + pad
+
+    in_specs = [
+        pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m, W, DH), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xs, ys, was]
+    dtype = slab_xmajor.dtype
+    scale = None
+    if int8_slab:
+        scale = jnp.maximum(
+            jnp.abs(slab_xmajor.astype(jnp.float32)).max(axis=(2, 3)), 1e-6
+        )  # [N, M]
+        slab_q = jnp.round(
+            slab_xmajor.astype(jnp.float32) / scale[:, :, None, None] * 127.0
+        ).astype(jnp.int8)
+        operands.append(slab_q)
+    else:
+        operands.append(slab_xmajor)
+
     out = pl.pallas_call(
-        _tent_kernel(H, W, bq, m, D, P, slab_xmajor.dtype),
+        _tent_kernel(H, W, bq, m, D, P, dtype, int8_slab=int8_slab),
         out_shape=jax.ShapeDtypeStruct((n, Rp // P, m, D), jnp.float32),
         grid=(n, Rp // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, W, DH), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, bq // P, m, D), lambda b, r: (b, r, 0, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(xs, ys, was, slab_xmajor)
+    )(*operands)
+    if scale is not None:
+        # dequant: slab scale/127 (value quant) * 1/127 (x-tent quant)
+        out = out * (scale * (1.0 / (127.0 * 127.0)))[:, None, :, None]
     return out[:, : R // P]
 
 
@@ -326,6 +367,7 @@ def ms_deform_attn_tent(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     interpret: bool = False,
+    int8_slab: bool = False,
 ) -> jnp.ndarray:
     """Tent-matmul MSDA forward (same contract as the gather impl)."""
     N, S, M, D = value.shape
@@ -347,7 +389,8 @@ def ms_deform_attn_tent(
         x = (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
         y = (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
         was = wa.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
-        o = _msda_tent_level(slab, x, y, was, D, P, interpret=interpret)  # [N, Lq, M, D]
+        o = _msda_tent_level(slab, x, y, was, D, P, interpret=interpret,
+                             int8_slab=int8_slab)  # [N, Lq, M, D]
         out = out + o
     return out.reshape(N, Lq, M * D).astype(value.dtype)
 
@@ -387,12 +430,18 @@ def ms_deform_attn(
     """Production multi-scale deformable attention.
 
     impl: 'auto' (tent kernel on TPU, fused gather elsewhere),
-    'tent', or 'gather'.
+    'tent', 'tent-int8' (int8 slab contraction — flagged accuracy
+    trade, see docs/PERFORMANCE.md), or 'gather'.
     """
     if impl == "auto":
         # The tent kernel is Mosaic/TPU-only; any other backend (cpu, gpu)
         # takes the XLA gather formulation.
         impl = "tent" if jax.default_backend() == "tpu" else "gather"
+    if impl == "tent-int8":
+        return ms_deform_attn_tent(
+            value, tuple(spatial_shapes), sampling_locations, attention_weights,
+            int8_slab=True,
+        )
     if impl == "tent":
         return _msda_tent_diff(
             value, tuple(spatial_shapes), sampling_locations, attention_weights
