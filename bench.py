@@ -44,6 +44,9 @@ def _drain(out):
 
 
 def timeit(fn, *args, iters=10):
+    """NOTE: the end-of-loop scalar fetch costs ~30ms of host-tunnel
+    latency on this stack; pick iters so it amortizes below ~5% (the
+    production driver pays it once per video, not per clip)."""
     for _ in range(2):
         _drain(fn(*args))
     t0 = time.perf_counter()
@@ -111,10 +114,10 @@ def main():
         return out["pred_logits"], out["pred_masks"]
 
     mf, ms = encode_window(params, frames)
-    t_enc = timeit(encode_window, params, frames)
+    t_enc = timeit(encode_window, params, frames, iters=10)
     mf_c = mf[:T]
     ms_c = tuple(m[:T] for m in ms)
-    t_dec = timeit(decode_clip, params, mf_c, ms_c, fi, cls_emb)
+    t_dec = timeit(decode_clip, params, mf_c, ms_c, fi, cls_emb, iters=60)
 
     stride = cfg.inference.clip_stride
     per_frame = t_enc / W + t_dec / stride

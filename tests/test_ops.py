@@ -129,6 +129,37 @@ def test_msda_tent_int8_slab_interpret():
     assert err < 0.05, f"int8 rel-err {err:.4f} exceeds quantization bound"
 
 
+@pytest.mark.parametrize("impl", ["2d", "win", "base"])
+def test_msda_tent_forced_variants_interpret(impl):
+    """Every per-level kernel variant vs the oracle, including the
+    windowed path's fast (clustered-y) and fallback (spread-y) branches
+    in one batch (window eligibility needs D>=32 and H>=27: use the
+    production head dim at a tall level)."""
+    from univs_tpu.ops.deformable_attention import (
+        _tent_window_rows, ms_deform_attn_tent,
+    )
+
+    rng = np.random.RandomState(11)
+    shapes = ((40, 8), (14, 10))
+    assert _tent_window_rows(40, 32) == 12
+    S = sum(h * w for h, w in shapes)
+    N, M, D, Lq, P = 2, 2, 32, 48, 2
+    L = len(shapes)
+    value = rng.randn(N, S, M, D).astype(np.float32)
+    # frame 0: y clustered in a 6-row band (window fast path on the
+    # tall level); frame 1: y spread over the full height (fallback)
+    loc = rng.uniform(-0.1, 1.1, size=(N, Lq, M, L, P, 2)).astype(np.float32)
+    loc[0, ..., 1] = 0.3 + 0.15 * rng.rand(Lq, M, L, P)
+    w = rng.rand(N, Lq, M, L, P).astype(np.float32)
+    w /= w.reshape(N, Lq, M, -1).sum(-1)[..., None, None]
+    expected = _torch_msda_oracle(value, shapes, loc, w)
+    got = ms_deform_attn_tent(
+        jnp.array(value), shapes, jnp.array(loc), jnp.array(w),
+        interpret=True, level_impl=impl,
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4, rtol=1e-4)
+
+
 def test_msda_dispatch_and_grad():
     """impl='gather' on CPU; the tent custom_vjp backward (gather vjp)
     produces the same gradients as differentiating the gather impl."""

@@ -217,8 +217,49 @@ def _msda_gather(
 
 
 # ---------------------------------------------------------------------------
-# Pallas tent-matmul kernel (TPU)
+# Pallas tent-matmul kernels (TPU)
+#
+# Three per-level variants, dispatched on level geometry (round 3b —
+# measured numbers in docs/PERFORMANCE.md "tent kernel v2"):
+#
+# - 2D-tent (_msda_tent2d_level): for tiny levels (H*W <= ~1k pixels)
+#   the separable two-matmul scheme is dominated by per-head fixed
+#   costs and lane-padded G matmuls.  Instead build the full 2D tent
+#   plane tentx*tenty*wa [bq, S] on the VPU and contract against the
+#   raster slab [S, D] in ONE matmul per head (K = S fills the MXU,
+#   no wide plane, no grouping matmul).
+# - windowed tent (_msda_tent_win_level): bilinear tents have support
+#   only at j in {floor(y), floor(y)+1}, and a block of consecutive
+#   (raster-order) queries spans few image rows.  With a j-major slab
+#   ([W, H*D], lane = j*D + d) each row-block contracts only a
+#   128-aligned dynamic lane window of 2*Hw rows around its queries —
+#   T1 lanes, the y-tent plane, and the grouping-matmul contraction
+#   all shrink by H/(2*Hw) (2.5x at the 1/8 level).  A per-(frame,
+#   block) scalar pair (ystart, ok) is computed outside the kernel;
+#   blocks whose y-spread exceeds the window take an exact full-H
+#   fallback branch, so results are independent of the window hit
+#   rate (the hit rate only affects speed; with the reference's
+#   grid-init offset scale >90% of blocks hit).
+# - base tent (_msda_tent_level): the original d-major wide-plane
+#   kernel, kept for geometries not covered above and as the
+#   int8-slab variant host.
 # ---------------------------------------------------------------------------
+
+# levels with at most this many pixels take the fused 2D-tent kernel
+_TENT2D_MAX_S = 1024
+
+
+def _tent_window_rows(H: int, D: int) -> int:
+    """Window height (rows) for the windowed kernel; 0 = ineligible.
+
+    The window start/extent are aligned so the dynamic lane slice
+    ystart*D is 128-aligned: both are multiples of align = 128/D.
+    ~0.3*H measured fastest at the 1/8 level (Hw=24 of H=80): small
+    enough to shrink the VMEM-bandwidth-bound wide planes, large
+    enough to keep the per-block window hit rate >0.9."""
+    align = max(1, -(-128 // D))
+    w = min(32, (3 * H // 10) // align * align)
+    return w if (w >= 2 * align and w >= 8 and w < H) else 0
 
 
 def _tent_block_size(DH: int) -> int:
@@ -257,11 +298,6 @@ def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, P: int, dtype,
         g_rows = jax.lax.broadcasted_iota(jnp.int32, (DH, D), 0)
         g_cols = jax.lax.broadcasted_iota(jnp.int32, (DH, D), 1)
         G = (g_rows // H == g_cols).astype(dtype)
-        # point-sum matrix Gp[q, (q', p)] = (q == q'): sums the P
-        # sampling points of each query, also on the MXU
-        gp_rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, bq), 0)
-        gp_cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, bq), 1)
-        Gp = (gp_rows == gp_cols // P).astype(dtype)
         for m in range(M):
             x = x_ref[0, :, m][:, None]  # [bq, 1]
             y = y_ref[0, :, m][:, None]
@@ -286,9 +322,9 @@ def _tent_kernel(H: int, W: int, bq: int, M: int, D: int, P: int, dtype,
             my_tile = jnp.maximum(1.0 - jnp.abs(jio - y), 0.0)  # [bq, D*H] f32
             p2 = (my_tile * t1).astype(dtype)
             per_row = jnp.dot(p2, G, preferred_element_type=jnp.float32)  # [bq, D]
-            o_ref[0, :, m] = jnp.dot(
-                Gp, per_row.astype(dtype), preferred_element_type=jnp.float32
-            )  # [BQ, D]
+            # point sum (q, p) -> q as a sublane reshape-sum (sublane
+            # splits are legal; only lane splits are not)
+            o_ref[0, :, m] = per_row.reshape(BQ, P, D).sum(axis=1)
 
     return kernel
 
@@ -361,6 +397,216 @@ def _msda_tent_level(slab_xmajor, xs, ys, was, D: int, P: int, *, interpret=Fals
     return out[:, : R // P]
 
 
+def _pad_rows(xs, ys, was, bq):
+    """Pad sample rows to a block multiple with inert (-10, w=0) rows."""
+    n, R, m = xs.shape
+    pad = (-R) % bq
+    if pad:
+        xs = jnp.concatenate([xs, jnp.full((n, pad, m), -10.0, xs.dtype)], axis=1)
+        ys = jnp.concatenate([ys, jnp.full((n, pad, m), -10.0, ys.dtype)], axis=1)
+        was = jnp.concatenate([was, jnp.zeros((n, pad, m), was.dtype)], axis=1)
+    return xs, ys, was, R + pad
+
+
+def _tent2d_kernel(S: int, W: int, bq: int, sub: int, M: int, D: int, P: int, dtype):
+    from jax.experimental import pallas as pl
+
+    nsub = bq // sub
+    SQ = sub // P
+
+    def kernel(rows_ref, v_ref, o_ref):
+        sio = jax.lax.broadcasted_iota(jnp.int32, (sub, S), 1)
+        iio = (sio % W).astype(jnp.float32)
+        jio = (sio // W).astype(jnp.float32)
+        for c in range(nsub):
+            rsl = slice(c * sub, (c + 1) * sub)
+            for m in range(M):
+                x = rows_ref[0, rsl, m][:, None]
+                y = rows_ref[0, rsl, M + m][:, None]
+                wa = rows_ref[0, rsl, 2 * M + m][:, None]
+                t2 = (
+                    jnp.maximum(1.0 - jnp.abs(iio - x), 0.0)
+                    * jnp.maximum(1.0 - jnp.abs(jio - y), 0.0)
+                    * wa
+                ).astype(dtype)
+                p = jnp.dot(t2, v_ref[0, m], preferred_element_type=jnp.float32)
+                o_ref[0, m, pl.ds(c * SQ, SQ)] = p.reshape(SQ, P, D).sum(axis=1)
+
+    return kernel
+
+
+def _msda_tent2d_level(slab_raster, xs, ys, was, D: int, P: int, W: int,
+                       *, interpret=False):
+    """Tiny-level MSDA: one fused 2D-tent matmul per head.
+
+    slab_raster [N, M, S, D] (s = j*W + i raster); xs/ys/was [N, R, M]
+    pixel coords + attention weight per sample row (rows point-minor).
+    Returns [N, R//P, M, D] f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m, S, _ = slab_raster.shape
+    _, R, _ = xs.shape
+    assert R % P == 0
+    sub = max(P, (_TENT_SUB // P) * P)
+    bq = max(sub, (_TENT_BQ // sub) * sub)
+    xs, ys, was, Rp = _pad_rows(xs, ys, was, bq)
+    rows = jnp.concatenate([xs, ys, was], axis=2)  # [N, Rp, 3M]
+
+    out = pl.pallas_call(
+        _tent2d_kernel(S, W, bq, sub, m, D, P, slab_raster.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, m, Rp // P, D), jnp.float32),
+        grid=(n, Rp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, 3 * m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, S, D), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m, bq // P, D), lambda b, r: (b, 0, r, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(rows, slab_raster)
+    return jnp.moveaxis(out, 1, 2)[:, : R // P]
+
+
+def _tent_win_kernel(H: int, W: int, bq: int, sub: int, M: int, D: int, P: int,
+                     dtype, Hw: int):
+    """Unified windowed/full kernel body over packed rows.
+
+    rows_ref [1, bq, 3M] (lanes = x columns 0..M-1, y M..2M-1, wa 2M..3M-1);
+    v_ref [1, M, W, H*D] j-major; o_ref [1, M, bq//P, D].
+    The grid block of bq rows is processed in sub-row chunks so the
+    wide intermediates stay small while DMA blocks stay big (this
+    hardware has a ~25us fixed cost per DMA block transfer — block
+    count, not block size, is what the grid layout must minimize).
+    Hw == H disables windowing (single full-H path, no meta branch).
+    """
+    from jax.experimental import pallas as pl
+
+    DH = D * H
+    DHw = D * Hw
+    nsub = bq // sub
+    SQ = sub // P
+    windowed = Hw < H
+
+    def kernel(meta_ref, rows_ref, v_ref, o_ref):
+        xio = jax.lax.broadcasted_iota(jnp.int32, (sub, W), 1).astype(jnp.float32)
+        gw_rows = jax.lax.broadcasted_iota(jnp.int32, (DHw, D), 0)
+        gw_cols = jax.lax.broadcasted_iota(jnp.int32, (DHw, D), 1)
+        Gw = (gw_rows % D == gw_cols).astype(dtype)  # j-major group matrix
+        jw = jax.lax.broadcasted_iota(jnp.int32, (sub, DHw), 1) // D
+        if windowed:
+            gf_rows = jax.lax.broadcasted_iota(jnp.int32, (DH, D), 0)
+            gf_cols = jax.lax.broadcasted_iota(jnp.int32, (DH, D), 1)
+            Gf = (gf_rows % D == gf_cols).astype(dtype)
+            jf = (jax.lax.broadcasted_iota(jnp.int32, (sub, DH), 1) // D).astype(jnp.float32)
+        for c in range(nsub):
+            rsl = slice(c * sub, (c + 1) * sub)
+            for m in range(M):
+                x = rows_ref[0, rsl, m][:, None]
+                y = rows_ref[0, rsl, M + m][:, None]
+                wa = rows_ref[0, rsl, 2 * M + m][:, None]
+                mx = (jnp.maximum(1.0 - jnp.abs(xio - x), 0.0) * wa).astype(dtype)
+
+                def fast(ys0):
+                    start = pl.multiple_of(ys0 * D, 128)
+                    vw = v_ref[0, m, :, pl.ds(start, DHw)]  # [W, DHw]
+                    t1 = jnp.dot(mx, vw, preferred_element_type=jnp.float32)
+                    my = jnp.maximum(
+                        1.0 - jnp.abs((jw + ys0).astype(jnp.float32) - y), 0.0
+                    )
+                    p2 = (my * t1).astype(dtype)
+                    per_row = jnp.dot(p2, Gw, preferred_element_type=jnp.float32)
+                    o_ref[0, m, pl.ds(c * SQ, SQ)] = per_row.reshape(SQ, P, D).sum(axis=1)
+
+                if not windowed:
+                    fast(jnp.int32(0))
+                    continue
+
+                ys0 = meta_ref[0, 0, c, m, 0]
+                ok = meta_ref[0, 0, c, m, 1]
+
+                @pl.when(ok == 1)
+                def _():
+                    fast(ys0)
+
+                @pl.when(ok == 0)
+                def _():
+                    t1 = jnp.dot(mx, v_ref[0, m], preferred_element_type=jnp.float32)
+                    my = jnp.maximum(1.0 - jnp.abs(jf - y), 0.0)
+                    p2 = (my * t1).astype(dtype)
+                    per_row = jnp.dot(p2, Gf, preferred_element_type=jnp.float32)
+                    o_ref[0, m, pl.ds(c * SQ, SQ)] = per_row.reshape(SQ, P, D).sum(axis=1)
+
+    return kernel
+
+
+_TENT_BQ = 8192
+_TENT_SUB = 2048
+
+
+def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
+                         *, interpret=False):
+    """Windowed MSDA level: j-major slab, per-chunk dynamic y-window.
+
+    slab_jmajor [N, M, W, H*D] (lane = j*D + d); xs/ys/was [N, R, M].
+    Hw: window rows (from :func:`_tent_window_rows`); Hw == H runs the
+    full-H path without branches.
+    Returns [N, R//P, M, D] f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, m, W, DH = slab_jmajor.shape
+    H = DH // D
+    _, R, _ = xs.shape
+    assert R % P == 0
+    align = max(1, -(-128 // D))
+    sub = max(P, (_TENT_SUB // P) * P)
+    bq = max(sub, (_TENT_BQ // sub) * sub)
+    xs, ys, was, Rp = _pad_rows(xs, ys, was, bq)
+    nb = Rp // bq
+    nsub = bq // sub
+
+    if Hw < H:
+        # per-(frame, block, chunk, head) window metadata.  Support of
+        # an in-range sample is {floor(y), floor(y)+1} ∩ [0, H-1]; the
+        # clipped floor keeps inert/out-of-range rows (whose tents are
+        # zero at every in-range j anyway) from inflating the window.
+        y0c = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)  # [N, Rp, M]
+        y0b = y0c.reshape(n, nb, nsub, sub, m)
+        ymin = y0b.min(axis=3)  # [N, nb, nsub, M]
+        ymax = y0b.max(axis=3)
+        ystart = jnp.minimum((ymin // align) * align, H - Hw)
+        ok = (jnp.minimum(ymax + 1, H - 1) < ystart + Hw).astype(jnp.int32)
+        meta = jnp.stack([ystart, ok], axis=-1)  # [N, nb, nsub, M, 2]
+    else:
+        meta = jnp.zeros((n, nb, nsub, m, 2), jnp.int32)
+
+    rows = jnp.concatenate([xs, ys, was], axis=2)  # [N, Rp, 3M] — ONE dma/step
+    out = pl.pallas_call(
+        _tent_win_kernel(H, W, bq, sub, m, D, P, slab_jmajor.dtype, Hw),
+        out_shape=jax.ShapeDtypeStruct((n, m, Rp // P, D), jnp.float32),
+        grid=(n, nb),
+        in_specs=[
+            # blocked SMEM meta: the whole array would blow the ~1MB
+            # SMEM budget (each scalar costs 256B of SMEM allocation)
+            pl.BlockSpec((1, 1, nsub, m, 2), lambda b, r: (b, r, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, 3 * m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, W, DH), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m, bq // P, D), lambda b, r: (b, 0, r, 0), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(meta, rows, slab_jmajor)
+    return jnp.moveaxis(out, 1, 2)[:, : R // P]
+
+
 def ms_deform_attn_tent(
     value: jnp.ndarray,
     spatial_shapes: Tuple[Tuple[int, int], ...],
@@ -368,8 +614,14 @@ def ms_deform_attn_tent(
     attention_weights: jnp.ndarray,
     interpret: bool = False,
     int8_slab: bool = False,
+    level_impl: str = "auto",
 ) -> jnp.ndarray:
-    """Tent-matmul MSDA forward (same contract as the gather impl)."""
+    """Tent-matmul MSDA forward (same contract as the gather impl).
+
+    level_impl: 'auto' picks per level (2D-tent for tiny levels,
+    windowed for tall levels, base otherwise); '2d'/'win'/'base' force
+    one variant for every eligible level (tests).
+    """
     N, S, M, D = value.shape
     _, Lq, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes)
@@ -381,16 +633,35 @@ def ms_deform_attn_tent(
     out = jnp.zeros((N, Lq, M, D), jnp.float32)
     for lid, (h, w) in enumerate(spatial_shapes):
         vl = value[:, starts[lid] : starts[lid + 1]]  # [N, S_l, M, D]
-        slab = jnp.moveaxis(vl, 2, 1).reshape(N, M, h, w, D)
-        slab = slab.transpose(0, 1, 3, 4, 2).reshape(N, M, w, D * h)
         loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P, 2]
         wa = attention_weights[:, :, :, lid]  # [N, Lq, M, P]
         # rows = (query, point) pairs
         x = (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
         y = (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
         was = wa.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
-        o = _msda_tent_level(slab, x, y, was, D, P, interpret=interpret,
-                             int8_slab=int8_slab)  # [N, Lq, M, D]
+        hw = _tent_window_rows(h, D)
+        if level_impl == "auto":
+            if int8_slab:
+                variant = "base"
+            elif h * w <= _TENT2D_MAX_S:
+                variant = "2d"
+            else:
+                variant = "win"
+        else:
+            variant = level_impl
+        if variant == "2d":
+            slab2d = jnp.moveaxis(vl, 2, 1)  # [N, M, S_l, D] raster
+            o = _msda_tent2d_level(slab2d, x, y, was, D, P, w, interpret=interpret)
+        elif variant == "win":
+            slab = jnp.moveaxis(vl, 2, 1).reshape(N, M, h, w, D)
+            slab = slab.transpose(0, 1, 3, 2, 4).reshape(N, M, w, h * D)  # j-major
+            o = _msda_tent_win_level(slab, x, y, was, D, P, hw or h,
+                                     interpret=interpret)
+        else:
+            slab = jnp.moveaxis(vl, 2, 1).reshape(N, M, h, w, D)
+            slab = slab.transpose(0, 1, 3, 4, 2).reshape(N, M, w, D * h)  # d-major
+            o = _msda_tent_level(slab, x, y, was, D, P, interpret=interpret,
+                                 int8_slab=int8_slab)  # [N, Lq, M, D]
         out = out + o
     return out.reshape(N, Lq, M * D).astype(value.dtype)
 
