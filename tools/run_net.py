@@ -31,6 +31,11 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--train", action="store_true")
+    p.add_argument("--config-file", type=str, default=None,
+                   help="reference-style yacs YAML (with _BASE_ inheritance)")
+    p.add_argument("--opts", nargs=argparse.REMAINDER, default=[],
+                   help="dotted overrides: our paths (decoder.num_queries=100) "
+                        "or yacs keys (MODEL.MASK_FORMER.NUM_OBJECT_QUERIES 100)")
     p.add_argument("--dataset", type=str, help="dataset to evaluate")
     p.add_argument("--datasets", type=str, help="train mixture name:ratio,name:ratio")
     p.add_argument("--weights", type=str, default=None)
@@ -53,6 +58,8 @@ def parse_args():
 
 
 def build_cfg(args):
+    """Config priority: dataclass defaults < --config-file (yacs YAML)
+    < --opts dotted overrides; --tiny short-circuits to the smoke cfg."""
     from univs_tpu.config import BackboneConfig, InferenceConfig, UniVSConfig, tiny_test_config
 
     vq = getattr(args, "vos_queries", "prompt")
@@ -67,13 +74,32 @@ def build_cfg(args):
             # cheap criterion for smoke runs (full 12544-point sampling
             # makes a single-core CPU train step take tens of minutes)
             train=TrainConfig(num_points=64, oversample_ratio=2.0),
+        ), {}
+    extras = {}
+    if getattr(args, "config_file", None):
+        from univs_tpu.config_io import config_from_yacs
+
+        cfg, extras, unmapped = config_from_yacs(args.config_file)
+        if unmapped:
+            print(f"[config] {len(unmapped)} yacs keys without a univs_tpu "
+                  f"equivalent (first 10): {unmapped[:10]}")
+        cfg = cfg.replace(dtype="bfloat16" if args.bf16 else cfg.dtype)
+    else:
+        cfg = UniVSConfig(
+            backbone=BackboneConfig(name=args.backbone),
+            num_frames=args.num_frames,
+            dtype="bfloat16" if args.bf16 else "float32",
         )
-    cfg = UniVSConfig(
-        backbone=BackboneConfig(name=args.backbone),
-        num_frames=args.num_frames,
-        dtype="bfloat16" if args.bf16 else "float32",
+    import dataclasses as _dc
+
+    cfg = cfg.replace(
+        inference=_dc.replace(cfg.inference, video_unified_inference_queries=vq)
     )
-    return cfg.replace(inference=cfg.inference.replace(video_unified_inference_queries=vq))
+    if getattr(args, "opts", None):
+        from univs_tpu.config_io import apply_overrides
+
+        cfg = apply_overrides(cfg, args.opts)
+    return cfg, extras
 
 
 def init_params(cfg, cls_bank, seed=0):
@@ -107,7 +133,20 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    cfg = build_cfg(args)
+    cfg, extras = build_cfg(args)
+    # fall back to the YAML's dataset/weights fields when flags are absent
+    if not args.dataset and extras.get("datasets_test"):
+        args.dataset = list(extras["datasets_test"])[0]
+    if not args.datasets and extras.get("datasets_train"):
+        ratios = extras.get("dataset_ratio") or [1.0] * len(extras["datasets_train"])
+        args.datasets = ",".join(
+            f"{n}:{r}" for n, r in zip(extras["datasets_train"], ratios)
+        )
+    if not args.weights and extras.get("weights"):
+        args.weights = extras["weights"]
+    if not args.bank and extras.get("class_embed_path"):
+        if os.path.exists(extras["class_embed_path"]):
+            args.bank = extras["class_embed_path"]
 
     from univs_tpu.data.category_info import TOTAL_CATEGORY_ROWS
     from univs_tpu.utils.checkpoint import load_category_bank, load_params, save_checkpoint
