@@ -155,9 +155,24 @@ class EntityDriver:
     """
 
     def __init__(self, cfg: UniVSConfig, params, num_classes: int,
-                 capacity: int = 40, thing_class_ids: Optional[Sequence[int]] = None):
+                 capacity: int = 40, thing_class_ids: Optional[Sequence[int]] = None,
+                 pipeline_devices=None):
+        """``pipeline_devices``: optional (encode_device, decode_device)
+        pair.  When set, the window encode (backbone + pixel decoder)
+        runs on the first device and the clip decode + memory pool live
+        on the second, with the NEXT window's encode dispatched eagerly
+        so the two chips overlap — true encode/decode pipelining for
+        serving (single-chip streaming is 1/(t_enc+t_dec); two chips
+        approach 1/max(t_enc, t_dec)).  Single-chip behavior is
+        unchanged when None."""
         self.cfg = cfg
         self.params = params
+        self._enc_dev = self._dec_dev = None
+        self._params_enc = params
+        if pipeline_devices is not None:
+            self._enc_dev, self._dec_dev = pipeline_devices
+            self._params_enc = jax.device_put(params, self._enc_dev)
+            self.params = jax.device_put(params, self._dec_dev)
         self.num_classes = num_classes
         self.capacity = capacity
         self.thing_class_ids = set(thing_class_ids or [])
@@ -220,7 +235,28 @@ class EntityDriver:
         )
 
         frames_j = jnp.asarray(frames, jnp.float32)
+        if self._enc_dev is not None:
+            frames_j = jax.device_put(frames_j, self._enc_dev)
+            pool = jax.device_put(pool, self._dec_dev)
+            cls_emb = jax.device_put(cls_emb, self._dec_dev)
+            if thing_mask is not None:
+                thing_mask = np.asarray(thing_mask)
+
+        def encode_at(start):
+            idx = np.minimum(np.arange(start, start + self.window), V - 1)
+            f = self._encode_window_fn(self._params_enc, frames_j[idx])
+            if self._dec_dev is not None:
+                f = jax.device_put(f, self._dec_dev)  # async inter-chip copy
+            return f
+
+        def next_window_start(end):
+            # smallest clip start on the stride lattice needing a new window
+            lo = end - self.T + 1
+            return int(-(-lo // self.stride) * self.stride)
+
         feats_window = None
+        next_feats = None
+        next_start = -1
         window_range = (0, 0)
         emitted: List[np.ndarray] = []
         emit_starts: List[int] = []
@@ -237,9 +273,16 @@ class EntityDriver:
             clip_idx = np.minimum(clip_idx, V - 1)  # clamp tail (repeat last)
 
             if i + self.T > window_range[1]:
-                idx = np.minimum(np.arange(i, i + self.window), V - 1)
-                feats_window = self._encode_window_fn(self.params, frames_j[idx])
+                feats_window = next_feats if next_start == i else encode_at(i)
                 window_range = (i, i + self.window)
+                next_feats, next_start = None, -1
+                if self._enc_dev is not None:
+                    # eagerly dispatch the NEXT window's encode: it runs
+                    # on the encode chip while this window's clip
+                    # decodes run on the decode chip
+                    ns = next_window_start(window_range[1])
+                    if ns < V:
+                        next_feats, next_start = encode_at(ns), ns
 
             rel = clip_idx - window_range[0]
             mf_w, ms_w = feats_window
