@@ -47,7 +47,13 @@ def main():
     p.add_argument("--dataset-ns", default="ytvis21")
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--score-thres", type=float, default=0.3)
+    p.add_argument("--tiny", action="store_true", help="tiny model smoke mode")
+    p.add_argument("--max-frames", type=int, default=300)
     args = p.parse_args()
+    run(args)
+
+
+def run(args):
 
     import jax.numpy as jnp
 
@@ -62,10 +68,15 @@ def main():
     class A:  # minimal args shim for build_cfg
         backbone = args.backbone
         num_frames = 5
-        bf16 = True
+        bf16 = not getattr(args, "tiny", False)
+        tiny = getattr(args, "tiny", False)
 
-    cfg = build_cfg(A)
+    cfg, _ = build_cfg(A)
     bank = load_category_bank(args.bank, TOTAL_CATEGORY_ROWS, cfg.decoder.clip_cls_emb_dim)
+    if getattr(args, "tiny", False):
+        # tiny decoder has a small embedding width: seeded random bank
+        rngb = np.random.RandomState(0)
+        bank = rngb.randn(TOTAL_CATEGORY_ROWS, cfg.decoder.clip_cls_emb_dim).astype(np.float32)
     k, start = COMBINED_DATASETS_CATEGORY_INFO[args.dataset_ns]
     cls_slice = bank[start : start + k]
 
@@ -73,7 +84,7 @@ def main():
     if args.weights:
         params = load_params(args.weights)
 
-    frames = read_frames(args.input)
+    frames = read_frames(args.input, max_frames=getattr(args, "max_frames", 300))
     assert frames, f"no frames read from {args.input}"
     h, w = frames[0].shape[:2]
     t = resize_shortest_edge((h, w), cfg.inference.min_size_test, 1333, 32)
