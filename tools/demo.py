@@ -1,12 +1,29 @@
 #!/usr/bin/env python
-"""Demo: run UniVS-TPU on a raw video / image folder and write overlays.
+"""Demo: run UniVS-TPU on raw videos / image folders and write overlays.
 
 Equivalent of the reference's demo entry (reference: demo/demo.py +
-demo/predictor.py VisualizationDemo/VideoPredictor;
+demo/predictor.py VisualizationDemo/VideoPredictor/AsyncPredictor;
 tools/test_custom_videos/*).
 
     python tools/demo.py --input video.mp4 --output out.avi \
         --weights ckpt --bank bank.npy --dataset-ns ytvis21
+
+    # several videos, rendering overlapped with inference:
+    python tools/demo.py --parallel --input a.mp4 b.mp4 c.mp4 \
+        --output outdir/
+
+Async design note: the reference's ``AsyncPredictor``
+(demo/predictor.py:122-210) forks model-worker *processes* so that slow
+matplotlib/OpenCV visualization in the main process does not starve the
+GPU.  On this stack the model side is already asynchronous — JAX
+dispatch enqueues device programs and returns — and forking processes
+would re-initialize a PJRT client per worker (wrong under the single
+remote-TPU tunnel).  So the analogue inverts the split: inference stays
+on the main thread (feeding the device queue back-to-back) and the slow
+host-side rendering/encoding moves onto bounded background worker
+threads (numpy/cv2 release the GIL).  Ordering and shutdown semantics
+match the reference: results are completed in submission order and
+``shutdown()`` drains the queue, re-raising worker errors.
 """
 
 from __future__ import annotations
@@ -15,6 +32,9 @@ import argparse
 import glob
 import os
 import sys
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,10 +58,92 @@ def read_frames(path: str, max_frames: int = 300):
     return frames
 
 
+def render_and_write(frames, results, out_path: str, score_thres: float,
+                     render_pool: Optional[ThreadPoolExecutor] = None):
+    """Rasterize per-frame instance overlays and encode the video.
+
+    With ``render_pool``, per-frame rasterization fans out across the
+    pool (frames are independent); encoding stays ordered.  This is the
+    per-video unit of work the async pipeline schedules."""
+    from univs_tpu.utils.rle import decode as rle_decode
+    from univs_tpu.utils.visualization import overlay_instances, write_video
+
+    kept = [r for r in results if float(np.max(r["score"])) >= score_thres]
+
+    def render_one(fi_frame):
+        fi, frame = fi_frame
+        masks = [rle_decode(r["segmentations"][fi]) for r in kept]
+        return overlay_instances(frame, masks)
+
+    items = list(enumerate(frames))
+    if render_pool is not None:
+        out_frames = list(render_pool.map(render_one, items))
+    else:
+        out_frames = [render_one(it) for it in items]
+    write_video(out_frames, out_path)
+    return len(out_frames), len(kept)
+
+
+class AsyncRenderPipeline:
+    """Overlap host-side visualization with device inference
+    (reference ``AsyncPredictor`` analogue, demo/predictor.py:122-210 —
+    see the module docstring for why the split is inverted here).
+
+    ``put(frames, results, out_path)`` enqueues one video's render job
+    on a single ordered writer thread; inside a job, per-frame
+    rasterization fans out over ``num_workers`` threads.  The queue is
+    bounded (``maxsize = num_workers * 3``, matching the reference) so
+    a slow disk cannot buffer unbounded frames in RAM.  ``shutdown()``
+    joins the writer and re-raises the first worker error."""
+
+    _STOP = object()
+
+    def __init__(self, score_thres: float, num_workers: int = 2):
+        import queue
+
+        self.score_thres = score_thres
+        self._tasks: "queue.Queue" = queue.Queue(maxsize=max(num_workers, 1) * 3)
+        self._render_pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
+        self._done: List[tuple] = []
+        self._error: Optional[BaseException] = None
+        self._writer = threading.Thread(target=self._run, daemon=True)
+        self._writer.start()
+
+    def _run(self):
+        while True:
+            task = self._tasks.get()
+            if task is self._STOP:
+                return
+            frames, results, out_path = task
+            try:
+                n, e = render_and_write(
+                    frames, results, out_path, self.score_thres, self._render_pool
+                )
+                self._done.append((out_path, n, e))
+            except BaseException as exc:  # surfaced by shutdown()
+                if self._error is None:
+                    self._error = exc
+
+    def put(self, frames, results, out_path: str):
+        self._tasks.put((frames, results, out_path))
+
+    def shutdown(self) -> List[tuple]:
+        """Drain the queue; returns [(out_path, n_frames, n_entities)]
+        in submission order.  Re-raises the first render error."""
+        self._tasks.put(self._STOP)
+        self._writer.join()
+        self._render_pool.shutdown(wait=True)
+        if self._error is not None:
+            raise self._error
+        return list(self._done)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True)
-    p.add_argument("--output", default="demo_out.avi")
+    p.add_argument("--input", required=True, nargs="+",
+                   help="one or more videos / frame folders")
+    p.add_argument("--output", default="demo_out.avi",
+                   help="output video path, or a directory for multiple inputs")
     p.add_argument("--weights", default=None)
     p.add_argument("--bank", default=None)
     p.add_argument("--dataset-ns", default="ytvis21")
@@ -49,8 +151,21 @@ def main():
     p.add_argument("--score-thres", type=float, default=0.3)
     p.add_argument("--tiny", action="store_true", help="tiny model smoke mode")
     p.add_argument("--max-frames", type=int, default=300)
+    p.add_argument("--parallel", action="store_true",
+                   help="render overlays on background threads so video k's "
+                        "visualization overlaps video k+1's inference "
+                        "(reference demo/demo.py --parallel)")
+    p.add_argument("--num-render-workers", type=int, default=2)
     args = p.parse_args()
     run(args)
+
+
+def _out_path_for(output: str, inp: str, multi: bool) -> str:
+    if not multi and not os.path.isdir(output):
+        return output
+    os.makedirs(output, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(os.path.normpath(inp)))[0]
+    return os.path.join(output, f"{stem}_overlay.avi")
 
 
 def run(args):
@@ -62,8 +177,6 @@ def run(args):
     from univs_tpu.data.category_info import COMBINED_DATASETS_CATEGORY_INFO, TOTAL_CATEGORY_ROWS
     from univs_tpu.inference.driver import EntityDriver
     from univs_tpu.utils.checkpoint import load_category_bank, load_params
-    from univs_tpu.utils.rle import decode as rle_decode
-    from univs_tpu.utils.visualization import overlay_instances, write_video
 
     class A:  # minimal args shim for build_cfg
         backbone = args.backbone
@@ -84,26 +197,37 @@ def run(args):
     if args.weights:
         params = load_params(args.weights)
 
-    frames = read_frames(args.input, max_frames=getattr(args, "max_frames", 300))
-    assert frames, f"no frames read from {args.input}"
-    h, w = frames[0].shape[:2]
-    t = resize_shortest_edge((h, w), cfg.inference.min_size_test, 1333, 32)
-    images = np.stack([t.apply_image(f) for f in frames]).astype(np.float32)
-    ih, iw = transformed_image_size(t, (h, w))
-
     driver = EntityDriver(cfg, params, num_classes=k, capacity=cfg.inference.max_num_instances)
-    results = driver.run_vis(images, jnp.asarray(cls_slice), image_size=(ih, iw), out_size=(h, w))
 
-    out_frames = []
-    for fi, frame in enumerate(frames):
-        masks = []
-        for r in results:
-            if float(np.max(r["score"])) < args.score_thres:
-                continue
-            masks.append(rle_decode(r["segmentations"][fi]))
-        out_frames.append(overlay_instances(frame, masks))
-    write_video(out_frames, args.output)
-    print(f"wrote {args.output} ({len(out_frames)} frames, {len(results)} entities)")
+    inputs = args.input if isinstance(args.input, (list, tuple)) else [args.input]
+    multi = len(inputs) > 1
+    pipeline = None
+    if getattr(args, "parallel", False):
+        pipeline = AsyncRenderPipeline(
+            args.score_thres, num_workers=getattr(args, "num_render_workers", 2)
+        )
+
+    for inp in inputs:
+        frames = read_frames(inp, max_frames=getattr(args, "max_frames", 300))
+        assert frames, f"no frames read from {inp}"
+        h, w = frames[0].shape[:2]
+        t = resize_shortest_edge((h, w), cfg.inference.min_size_test, 1333, 32)
+        images = np.stack([t.apply_image(f) for f in frames]).astype(np.float32)
+        ih, iw = transformed_image_size(t, (h, w))
+
+        results = driver.run_vis(
+            images, jnp.asarray(cls_slice), image_size=(ih, iw), out_size=(h, w)
+        )
+        out_path = _out_path_for(args.output, inp, multi)
+        if pipeline is not None:
+            pipeline.put(frames, results, out_path)
+        else:
+            n, e = render_and_write(frames, results, out_path, args.score_thres)
+            print(f"wrote {out_path} ({n} frames, {e} entities)")
+
+    if pipeline is not None:
+        for out_path, n, e in pipeline.shutdown():
+            print(f"wrote {out_path} ({n} frames, {e} entities)")
 
 
 if __name__ == "__main__":

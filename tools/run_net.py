@@ -54,7 +54,25 @@ def parse_args():
                    help="VOS back-end re-ID variant "
                         "(VIDEO_UNIFIED_INFERENCE_QUERIES)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from the latest state_* checkpoint "
+                        "in --output (full state: params + optimizer + EMA + "
+                        "step — the reference's DetectionCheckpointer "
+                        "resume_or_load, train_net.py:377-393)")
+    p.add_argument("--ckpt-every", type=int, default=1000)
     return p.parse_args()
+
+
+def latest_state_dir(output: str):
+    """Newest full-state checkpoint dir ``state_<iter>`` under output."""
+    import glob as _glob
+
+    cands = []
+    for d in _glob.glob(os.path.join(output, "state_*")):
+        tail = os.path.basename(d).split("_")[-1]
+        if os.path.isdir(d) and tail.isdigit():
+            cands.append((int(tail), d))
+    return max(cands)[1] if cands else None
 
 
 def build_cfg(args):
@@ -207,19 +225,30 @@ def main():
 
         mesh = make_mesh()
         state = create_train_state(cfg.replace(train=cfg.train), params)
+        start_it = 0
+        if args.resume:
+            from univs_tpu.utils.checkpoint import load_checkpoint
+
+            latest = latest_state_dir(args.output)
+            if latest:
+                state = load_checkpoint(latest, target=state)
+                start_it = int(state.step)
+                print(f"resumed full train state from {latest} (iter {start_it})")
         step = make_train_step(cfg, model, mesh, task="detection")
         rng = jax.random.PRNGKey(args.seed)
         from univs_tpu.utils.events import EventWriter
 
         events = EventWriter(args.output, print_every=20)
         with mesh:
-            for it in range(args.max_iter):
+            for it in range(start_it, args.max_iter):
                 batch = next(loader)
                 state, logged = step(state, batch, rng)
                 if it % 20 == 0:  # fetch scalars at the log cadence only
                     events.log(it, {k: float(v) for k, v in logged.items()})
-                if (it + 1) % 1000 == 0:
-                    save_checkpoint(os.path.join(args.output, f"ckpt_{it+1}"), state.params)
+                if (it + 1) % args.ckpt_every == 0:
+                    # full state (params + optimizer + EMA + step) so
+                    # --resume restarts exactly; eval loads ckpt_final
+                    save_checkpoint(os.path.join(args.output, f"state_{it+1}"), state)
         events.close()
         save_checkpoint(os.path.join(args.output, "ckpt_final"), state.params)
         return
