@@ -35,6 +35,52 @@ def test_demo_tiny_smoke(tmp_path):
     assert os.path.isfile(out) and os.path.getsize(out) > 0
 
 
+def test_show_results_from_json(tmp_path):
+    """tools/show_results.py: render saved YTVIS-format predictions over
+    the dataset frames (reference demo/show_mask_from_json_video.py)."""
+    pytest.importorskip("cv2")
+    import json
+
+    from PIL import Image
+
+    from univs_tpu.utils import rle
+
+    H, W, V = 40, 56, 3
+    img_dir = tmp_path / "frames" / "v1"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(2)
+    names = []
+    for i in range(V):
+        Image.fromarray((rng.rand(H, W, 3) * 255).astype(np.uint8)).save(
+            img_dir / f"{i:02d}.jpg")
+        names.append(f"v1/{i:02d}.jpg")
+    videos_json = tmp_path / "valid.json"
+    videos_json.write_text(json.dumps({
+        "videos": [{"id": 7, "file_names": names, "height": H, "width": W}]}))
+
+    m = np.zeros((H, W), np.uint8)
+    m[5:20, 8:30] = 1
+    results = [
+        {"video_id": 7, "score": 0.9, "category_id": 1,
+         "segmentations": [rle.encode(m)] * V},
+        {"video_id": 7, "score": 0.1, "category_id": 2,  # below conf
+         "segmentations": [rle.encode(m)] * V},
+        {"video_id": 7, "score": 0.8, "category_id": 1,  # None frame ok
+         "segmentations": [rle.encode(m), None, rle.encode(m)]},
+    ]
+    res_path = tmp_path / "results.json"
+    res_path.write_text(json.dumps(results))
+
+    from tools.show_results import show_results
+
+    written = show_results(str(res_path), str(videos_json),
+                           str(tmp_path / "frames"), str(tmp_path / "viz"),
+                           conf=0.3)
+    assert len(written) == 1
+    out_path, n_frames, n_kept = written[0]
+    assert os.path.getsize(out_path) > 0 and n_frames == V and n_kept == 2
+
+
 def test_demo_parallel_multi_input(tmp_path, capsys):
     """--parallel over two inputs: the AsyncRenderPipeline must write
     both overlay videos (render overlapped with inference) and report
