@@ -138,20 +138,22 @@ def main():
         _msda_tent2d_level, _msda_tent_win_level, _tent_window_rows, _TENT2D_MAX_S,
     )
     D = C // M
-    slabs = []
+    slabs, metas = [], []
     for lid, (hh, ww) in enumerate(shapes):
         vl = value[:, starts[lid]:starts[lid + 1]]
         if hh * ww <= _TENT2D_MAX_S:
-            slabs.append(("2d", jnp.moveaxis(vl, 2, 1), ww, 0))
+            slabs.append(jnp.moveaxis(vl, 2, 1))
+            metas.append(("2d", ww, 0))
         else:
             s = jnp.moveaxis(vl, 2, 1).reshape(t, M, hh, ww, D)
             s = s.transpose(0, 1, 3, 2, 4).reshape(t, M, ww, hh * D)
-            slabs.append(("win", s, ww, _tent_window_rows(hh, D) or hh))
+            slabs.append(s)
+            metas.append(("win", ww, _tent_window_rows(hh, D) or hh))
 
     @jax.jit
     def kernels_fn(slab_args, packed_args):
         outs = []
-        for (kind, slab, ww, hw), (x, y, wa) in zip(slab_args, packed_args):
+        for (kind, ww, hw), slab, (x, y, wa) in zip(metas, slab_args, packed_args):
             if kind == "2d":
                 outs.append(_msda_tent2d_level(slab, x, y, wa, D, P, ww))
             else:

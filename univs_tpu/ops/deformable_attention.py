@@ -408,7 +408,8 @@ def _pad_rows(xs, ys, was, bq):
     return xs, ys, was, R + pad
 
 
-def _tent2d_kernel(S: int, W: int, bq: int, sub: int, M: int, D: int, P: int, dtype):
+def _tent2d_kernel(S: int, W: int, bq: int, sub: int, M: int, D: int, P: int, dtype,
+                   col0: int = 0):
     from jax.experimental import pallas as pl
 
     nsub = bq // sub
@@ -421,9 +422,9 @@ def _tent2d_kernel(S: int, W: int, bq: int, sub: int, M: int, D: int, P: int, dt
         for c in range(nsub):
             rsl = slice(c * sub, (c + 1) * sub)
             for m in range(M):
-                x = rows_ref[0, rsl, m][:, None]
-                y = rows_ref[0, rsl, M + m][:, None]
-                wa = rows_ref[0, rsl, 2 * M + m][:, None]
+                x = rows_ref[0, rsl, col0 + m][:, None]
+                y = rows_ref[0, rsl, col0 + M + m][:, None]
+                wa = rows_ref[0, rsl, col0 + 2 * M + m][:, None]
                 t2 = (
                     jnp.maximum(1.0 - jnp.abs(iio - x), 0.0)
                     * jnp.maximum(1.0 - jnp.abs(jio - y), 0.0)
@@ -435,31 +436,32 @@ def _tent2d_kernel(S: int, W: int, bq: int, sub: int, M: int, D: int, P: int, dt
     return kernel
 
 
-def _msda_tent2d_level(slab_raster, xs, ys, was, D: int, P: int, W: int,
-                       *, interpret=False):
+def _msda_tent2d_packed(slab_raster, rows, R: int, D: int, P: int, W: int,
+                        col0: int, *, interpret=False):
     """Tiny-level MSDA: one fused 2D-tent matmul per head.
 
-    slab_raster [N, M, S, D] (s = j*W + i raster); xs/ys/was [N, R, M]
-    pixel coords + attention weight per sample row (rows point-minor).
+    slab_raster [N, M, S, D] (s = j*W + i raster); ``rows`` is the
+    block-padded packed row array [N, Rp, lanes] shared by ALL levels
+    (per-level column blocks [x(M), y(M), wa(M)] at lane ``col0`` —
+    sharing one lane-padded array instead of writing three per level is
+    what the packing costs, see docs/PERFORMANCE.md round 3c).
     Returns [N, R//P, M, D] f32.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, m, S, _ = slab_raster.shape
-    _, R, _ = xs.shape
-    assert R % P == 0
+    _, Rp, lanes = rows.shape
     sub = max(P, (_TENT_SUB // P) * P)
     bq = max(sub, (_TENT_BQ // sub) * sub)
-    xs, ys, was, Rp = _pad_rows(xs, ys, was, bq)
-    rows = jnp.concatenate([xs, ys, was], axis=2)  # [N, Rp, 3M]
+    assert Rp % bq == 0
 
     out = pl.pallas_call(
-        _tent2d_kernel(S, W, bq, sub, m, D, P, slab_raster.dtype),
+        _tent2d_kernel(S, W, bq, sub, m, D, P, slab_raster.dtype, col0),
         out_shape=jax.ShapeDtypeStruct((n, m, Rp // P, D), jnp.float32),
         grid=(n, Rp // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, 3 * m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lanes), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, S, D), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -471,11 +473,26 @@ def _msda_tent2d_level(slab_raster, xs, ys, was, D: int, P: int, W: int,
     return jnp.moveaxis(out, 1, 2)[:, : R // P]
 
 
+def _msda_tent2d_level(slab_raster, xs, ys, was, D: int, P: int, W: int,
+                       *, interpret=False):
+    """Back-compat wrapper over :func:`_msda_tent2d_packed`: packs one
+    level's xs/ys/was [N, R, M] into a [N, Rp, 3M] row array itself."""
+    _, R, _ = xs.shape
+    assert R % P == 0
+    sub = max(P, (_TENT_SUB // P) * P)
+    bq = max(sub, (_TENT_BQ // sub) * sub)
+    xs, ys, was, _ = _pad_rows(xs, ys, was, bq)
+    rows = jnp.concatenate([xs, ys, was], axis=2)  # [N, Rp, 3M]
+    return _msda_tent2d_packed(slab_raster, rows, R, D, P, W, 0,
+                               interpret=interpret)
+
+
 def _tent_win_kernel(H: int, W: int, bq: int, sub: int, M: int, D: int, P: int,
-                     dtype, Hw: int):
+                     dtype, Hw: int, col0: int = 0):
     """Unified windowed/full kernel body over packed rows.
 
-    rows_ref [1, bq, 3M] (lanes = x columns 0..M-1, y M..2M-1, wa 2M..3M-1);
+    rows_ref [1, bq, lanes] (this level's block starts at lane ``col0``:
+    x columns col0..col0+M-1, y next M, wa next M);
     v_ref [1, M, W, H*D] j-major; o_ref [1, M, bq//P, D].
     The grid block of bq rows is processed in sub-row chunks so the
     wide intermediates stay small while DMA blocks stay big (this
@@ -505,9 +522,9 @@ def _tent_win_kernel(H: int, W: int, bq: int, sub: int, M: int, D: int, P: int,
         for c in range(nsub):
             rsl = slice(c * sub, (c + 1) * sub)
             for m in range(M):
-                x = rows_ref[0, rsl, m][:, None]
-                y = rows_ref[0, rsl, M + m][:, None]
-                wa = rows_ref[0, rsl, 2 * M + m][:, None]
+                x = rows_ref[0, rsl, col0 + m][:, None]
+                y = rows_ref[0, rsl, col0 + M + m][:, None]
+                wa = rows_ref[0, rsl, col0 + 2 * M + m][:, None]
                 mx = (jnp.maximum(1.0 - jnp.abs(xio - x), 0.0) * wa).astype(dtype)
 
                 def fast(ys0):
@@ -547,11 +564,13 @@ _TENT_BQ = 8192
 _TENT_SUB = 2048
 
 
-def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
-                         *, interpret=False):
+def _msda_tent_win_packed(slab_jmajor, rows, R: int, D: int, P: int, Hw: int,
+                          col0: int, *, interpret=False):
     """Windowed MSDA level: j-major slab, per-chunk dynamic y-window.
 
-    slab_jmajor [N, M, W, H*D] (lane = j*D + d); xs/ys/was [N, R, M].
+    slab_jmajor [N, M, W, H*D] (lane = j*D + d); ``rows`` is the
+    block-padded packed row array [N, Rp, lanes] shared by all levels
+    (this level's [x(M), y(M), wa(M)] block starts at lane ``col0``).
     Hw: window rows (from :func:`_tent_window_rows`); Hw == H runs the
     full-H path without branches.
     Returns [N, R//P, M, D] f32.
@@ -561,12 +580,11 @@ def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
 
     n, m, W, DH = slab_jmajor.shape
     H = DH // D
-    _, R, _ = xs.shape
-    assert R % P == 0
+    _, Rp, lanes = rows.shape
     align = max(1, -(-128 // D))
     sub = max(P, (_TENT_SUB // P) * P)
     bq = max(sub, (_TENT_BQ // sub) * sub)
-    xs, ys, was, Rp = _pad_rows(xs, ys, was, bq)
+    assert Rp % bq == 0
     nb = Rp // bq
     nsub = bq // sub
 
@@ -575,6 +593,7 @@ def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
         # an in-range sample is {floor(y), floor(y)+1} ∩ [0, H-1]; the
         # clipped floor keeps inert/out-of-range rows (whose tents are
         # zero at every in-range j anyway) from inflating the window.
+        ys = rows[:, :, col0 + m : col0 + 2 * m]  # this level's y columns
         y0c = jnp.clip(jnp.floor(ys), 0, H - 1).astype(jnp.int32)  # [N, Rp, M]
         y0b = y0c.reshape(n, nb, nsub, sub, m)
         ymin = y0b.min(axis=3)  # [N, nb, nsub, M]
@@ -585,9 +604,8 @@ def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
     else:
         meta = jnp.zeros((n, nb, nsub, m, 2), jnp.int32)
 
-    rows = jnp.concatenate([xs, ys, was], axis=2)  # [N, Rp, 3M] — ONE dma/step
     out = pl.pallas_call(
-        _tent_win_kernel(H, W, bq, sub, m, D, P, slab_jmajor.dtype, Hw),
+        _tent_win_kernel(H, W, bq, sub, m, D, P, slab_jmajor.dtype, Hw, col0),
         out_shape=jax.ShapeDtypeStruct((n, m, Rp // P, D), jnp.float32),
         grid=(n, nb),
         in_specs=[
@@ -595,7 +613,7 @@ def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
             # SMEM budget (each scalar costs 256B of SMEM allocation)
             pl.BlockSpec((1, 1, nsub, m, 2), lambda b, r: (b, r, 0, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, bq, 3 * m), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lanes), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, W, DH), lambda b, r: (b, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -605,6 +623,20 @@ def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
         interpret=interpret,
     )(meta, rows, slab_jmajor)
     return jnp.moveaxis(out, 1, 2)[:, : R // P]
+
+
+def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
+                         *, interpret=False):
+    """Back-compat wrapper over :func:`_msda_tent_win_packed`: packs one
+    level's xs/ys/was [N, R, M] into a [N, Rp, 3M] row array itself."""
+    _, R, _ = xs.shape
+    assert R % P == 0
+    sub = max(P, (_TENT_SUB // P) * P)
+    bq = max(sub, (_TENT_BQ // sub) * sub)
+    xs, ys, was, _ = _pad_rows(xs, ys, was, bq)
+    rows = jnp.concatenate([xs, ys, was], axis=2)  # [N, Rp, 3M] — ONE dma/step
+    return _msda_tent_win_packed(slab_jmajor, rows, R, D, P, Hw, 0,
+                                 interpret=interpret)
 
 
 def ms_deform_attn_tent(
@@ -630,34 +662,61 @@ def ms_deform_attn_tent(
     for (h, w) in spatial_shapes:
         starts.append(starts[-1] + h * w)
 
-    out = jnp.zeros((N, Lq, M, D), jnp.float32)
+    def pick(h, w):
+        if level_impl != "auto":
+            return level_impl
+        if int8_slab:
+            return "base"
+        return "2d" if h * w <= _TENT2D_MAX_S else "win"
+
+    variants = [pick(h, w) for (h, w) in spatial_shapes]
+    # per-level pixel coords + weights as (query, point) rows [N, R, M]
+    cols, R = [], Lq * P
     for lid, (h, w) in enumerate(spatial_shapes):
-        vl = value[:, starts[lid] : starts[lid + 1]]  # [N, S_l, M, D]
         loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P, 2]
         wa = attention_weights[:, :, :, lid]  # [N, Lq, M, P]
-        # rows = (query, point) pairs
-        x = (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
-        y = (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
-        was = wa.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, Lq * P, M)
+        cols.append((
+            (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, R, M),
+            (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, R, M),
+            wa.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, R, M),
+        ))
+
+    # ONE packed row array shared by every packed-kernel level (blocks
+    # [x(M), y(M), wa(M)] per level): the per-row lane count is padded
+    # to 128 in HBM either way, so packing all levels into one array
+    # cuts the materialized row bytes (and their writes) by ~L x.
+    rows_all = None
+    if any(v in ("2d", "win") for v in variants):
+        sub = max(P, (_TENT_SUB // P) * P)
+        bq = max(sub, (_TENT_BQ // sub) * sub)
+        packed_cols = [c for lid, v in enumerate(variants) if v in ("2d", "win")
+                       for c in cols[lid]]
+        rows_all = jnp.concatenate(packed_cols, axis=2)
+        pad = (-R) % bq
+        if pad:
+            # inert pad rows: far-outside coords -> zero tents -> zero output
+            rows_all = jnp.pad(rows_all, ((0, 0), (0, pad), (0, 0)),
+                               constant_values=-10.0)
+
+    out = jnp.zeros((N, Lq, M, D), jnp.float32)
+    col0 = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        vl = value[:, starts[lid] : starts[lid + 1]]  # [N, S_l, M, D]
         hw = _tent_window_rows(h, D)
-        if level_impl == "auto":
-            if int8_slab:
-                variant = "base"
-            elif h * w <= _TENT2D_MAX_S:
-                variant = "2d"
-            else:
-                variant = "win"
-        else:
-            variant = level_impl
+        variant = variants[lid]
         if variant == "2d":
             slab2d = jnp.moveaxis(vl, 2, 1)  # [N, M, S_l, D] raster
-            o = _msda_tent2d_level(slab2d, x, y, was, D, P, w, interpret=interpret)
+            o = _msda_tent2d_packed(slab2d, rows_all, R, D, P, w, col0,
+                                    interpret=interpret)
+            col0 += 3 * M
         elif variant == "win":
             slab = jnp.moveaxis(vl, 2, 1).reshape(N, M, h, w, D)
             slab = slab.transpose(0, 1, 3, 2, 4).reshape(N, M, w, h * D)  # j-major
-            o = _msda_tent_win_level(slab, x, y, was, D, P, hw or h,
-                                     interpret=interpret)
+            o = _msda_tent_win_packed(slab, rows_all, R, D, P, hw or h, col0,
+                                      interpret=interpret)
+            col0 += 3 * M
         else:
+            x, y, was = cols[lid]
             slab = jnp.moveaxis(vl, 2, 1).reshape(N, M, h, w, D)
             slab = slab.transpose(0, 1, 3, 4, 2).reshape(N, M, w, D * h)  # d-major
             o = _msda_tent_level(slab, x, y, was, D, P, interpret=interpret,
