@@ -89,3 +89,49 @@ def test_apply_overrides_both_schemes():
     )
     assert cfg.decoder.num_queries == 128
     assert cfg.num_frames == 3 and cfg.inference.num_frames == 3
+
+
+def test_solver_lr_schedule_translation():
+    """SOLVER.{LR_SCHEDULER_NAME, STEPS, GAMMA, WARMUP_FACTOR} map onto
+    the train schedule fields, with d2 class names normalized
+    (reference: deeplab build_lr_scheduler dispatch)."""
+    cfg, _, _ = config_from_yacs({
+        "SOLVER": {"LR_SCHEDULER_NAME": "WarmupPolyLR", "STEPS": (342000,),
+                   "GAMMA": 0.2, "WARMUP_FACTOR": 0.001, "POLY_LR_POWER": 0.9},
+    })
+    assert cfg.train.lr_scheduler == "poly"
+    assert cfg.train.lr_steps == (342000,)
+    assert cfg.train.lr_gamma == 0.2 and cfg.train.warmup_factor == 0.001
+
+    cfg2, _, _ = config_from_yacs({"SOLVER": {"LR_SCHEDULER_NAME": "WarmupMultiStepLR"}})
+    assert cfg2.train.lr_scheduler == "multistep"
+
+
+def test_lr_schedule_laws():
+    """The schedule functions reproduce the reference laws:
+    WarmupMultiStepLR lr * wf(it) * gamma^bisect(steps, it) with linear
+    warmup wf(it) = f*(1-a)+a, a = it/warmup; WarmupPolyLR
+    lr * wf * (1 - it/max)^power (d2 solver/lr_scheduler.py)."""
+    import numpy as np
+
+    from univs_tpu.parallel.train_state import _lr_schedule
+
+    c = UniVSConfig().train.__class__(
+        lr=0.1, lr_scheduler="multistep", lr_steps=(100, 200), lr_gamma=0.1,
+        warmup_iters=10, warmup_factor=0.001, max_iter=1000,
+    )
+    s = _lr_schedule(c)
+    assert np.isclose(float(s(0)), 0.1 * 0.001)
+    assert np.isclose(float(s(5)), 0.1 * (0.001 * 0.5 + 0.5))
+    assert np.isclose(float(s(50)), 0.1)
+    assert np.isclose(float(s(150)), 0.01)
+    assert np.isclose(float(s(250)), 0.001)
+
+    cp = c.__class__(lr=0.1, lr_scheduler="poly", warmup_iters=0,
+                     poly_power=0.9, max_iter=1000)
+    sp = _lr_schedule(cp)
+    assert np.isclose(float(sp(0)), 0.1)
+    assert np.isclose(float(sp(500)), 0.1 * 0.5 ** 0.9, rtol=1e-5)
+
+    cc = c.__class__(lr=0.1, lr_scheduler="cosine", warmup_iters=10, max_iter=1000)
+    assert float(_lr_schedule(cc)(10)) > 0.09  # peak after warmup

@@ -35,6 +35,33 @@ def test_demo_tiny_smoke(tmp_path):
     assert os.path.isfile(out) and os.path.getsize(out) > 0
 
 
+def test_demo_text_prompts(tmp_path):
+    """--text runs the grounding (RefVOS) driver on a raw video: one
+    tracked overlay per expression (the reference CUSTOM_VIDEOS_TEXT
+    flow).  No CLIP weights -> the seeded random-prompt smoke path."""
+    pytest.importorskip("cv2")
+    from PIL import Image
+
+    frame_dir = tmp_path / "frames"
+    frame_dir.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(4):
+        arr = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(frame_dir / f"{i:03d}.jpg")
+
+    from tools.demo import run
+
+    out = str(tmp_path / "out_text.avi")
+    args = types.SimpleNamespace(
+        input=str(frame_dir), output=out, weights=None, bank=None,
+        dataset_ns="ytvis21", backbone="resnet50", score_thres=-1.0,
+        tiny=True, max_frames=4, text=["a red thing", "a dog"],
+        clip_weights=None,
+    )
+    run(args)
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
+
+
 def test_show_results_from_json(tmp_path):
     """tools/show_results.py: render saved YTVIS-format predictions over
     the dataset frames (reference demo/show_mask_from_json_video.py)."""

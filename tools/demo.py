@@ -156,6 +156,15 @@ def main():
                         "visualization overlaps video k+1's inference "
                         "(reference demo/demo.py --parallel)")
     p.add_argument("--num-render-workers", type=int, default=2)
+    p.add_argument("--text", nargs="+", default=None,
+                   help="referring expressions: run text-prompted (RefVOS) "
+                        "inference instead of category-guided VIS — one "
+                        "tracked mask per expression (the reference's "
+                        "CUSTOM_VIDEOS_TEXT flow, univs/config.py:151-153)")
+    p.add_argument("--clip-weights", default=None,
+                   help="CLIP text-tower params for real expression features "
+                        "(without them a seeded random prompt is used and "
+                        "masks are smoke-quality only)")
     args = p.parse_args()
     run(args)
 
@@ -197,7 +206,35 @@ def run(args):
     if args.weights:
         params = load_params(args.weights)
 
-    driver = EntityDriver(cfg, params, num_classes=k, capacity=cfg.inference.max_num_instances)
+    exprs = getattr(args, "text", None)
+    if exprs:
+        from univs_tpu.inference.driver import VOSDriver
+        from univs_tpu.structures import TextPrompts
+        from univs_tpu.utils.rle import encode_mask_batch
+
+        n_expr = len(exprs)
+        driver = VOSDriver(cfg, params, capacity=n_expr, num_classes=k,
+                           query_mode=cfg.inference.video_unified_inference_queries)
+        if getattr(args, "clip_weights", None):
+            from univs_tpu.models.clip_text import TextPromptEncoder
+            from univs_tpu.prompts.prepare_targets import PrepareTargets
+
+            enc = TextPromptEncoder(load_params(args.clip_weights))
+            tp = PrepareTargets(bank, enc).grounding_inputs(exprs, pad_to=n_expr)
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "--text without --clip-weights: seeded RANDOM expression "
+                "features — output masks are smoke-quality only")
+            rngt = np.random.RandomState(0)
+            tp = TextPrompts(
+                embs=jnp.asarray(rngt.randn(1, n_expr, 4, cls_slice.shape[-1]), jnp.float32),
+                valid=jnp.ones((1, n_expr), bool),
+            )
+    else:
+        driver = EntityDriver(cfg, params, num_classes=k,
+                              capacity=cfg.inference.max_num_instances)
 
     inputs = args.input if isinstance(args.input, (list, tuple)) else [args.input]
     multi = len(inputs) > 1
@@ -215,9 +252,22 @@ def run(args):
         images = np.stack([t.apply_image(f) for f in frames]).astype(np.float32)
         ih, iw = transformed_image_size(t, (h, w))
 
-        results = driver.run_vis(
-            images, jnp.asarray(cls_slice), image_size=(ih, iw), out_size=(h, w)
-        )
+        if exprs:
+            # [n_expr, V, h, w] binary masks -> results-list shape so the
+            # same render pipeline (incl. --parallel) applies
+            masks = driver.run_grounding(
+                images, tp.embs, tp.valid, jnp.asarray(cls_slice),
+                n_expressions=n_expr, image_size=(ih, iw), out_size=(h, w),
+            )
+            results = [
+                {"score": np.float32(1.0), "expression": exprs[e],
+                 "segmentations": encode_mask_batch(np.asarray(masks[e], np.uint8))}
+                for e in range(n_expr)
+            ]
+        else:
+            results = driver.run_vis(
+                images, jnp.asarray(cls_slice), image_size=(ih, iw), out_size=(h, w)
+            )
         out_path = _out_path_for(args.output, inp, multi)
         if pipeline is not None:
             pipeline.put(frames, results, out_path)

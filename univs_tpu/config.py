@@ -161,6 +161,14 @@ class TrainConfig:
     clip_gradients_value: float = 0.01
     max_iter: int = 160_000
     warmup_iters: int = 10
+    # LR schedule family (reference: detectron2/deeplab build_lr_scheduler
+    # dispatched on SOLVER.LR_SCHEDULER_NAME; UniVS configs use the
+    # default WarmupMultiStepLR with STEPS/GAMMA, e.g. Base.yaml:85-88)
+    lr_scheduler: str = "multistep"  # multistep | poly | cosine
+    lr_steps: Tuple[int, ...] = ()  # decay boundaries (SOLVER.STEPS)
+    lr_gamma: float = 0.1  # per-step decay (SOLVER.GAMMA)
+    warmup_factor: float = 1.0  # SOLVER.WARMUP_FACTOR (1.0 = no warmup)
+    poly_power: float = 0.9  # SOLVER.POLY_LR_POWER (WarmupPolyLR)
     ema_decay: float = 0.999
     amp_dtype: str = "bfloat16"
     # loss weights (configs/univs/Base.yaml:37-44)

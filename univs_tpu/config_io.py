@@ -141,6 +141,11 @@ REF_KEY_MAP: Dict[str, Optional[str]] = {
     "SOLVER.WEIGHT_DECAY": "train.weight_decay",
     "SOLVER.MAX_ITER": "train.max_iter",
     "SOLVER.WARMUP_ITERS": "train.warmup_iters",
+    "SOLVER.WARMUP_FACTOR": "train.warmup_factor",
+    "SOLVER.LR_SCHEDULER_NAME": "train.lr_scheduler",
+    "SOLVER.STEPS": "train.lr_steps",
+    "SOLVER.GAMMA": "train.lr_gamma",
+    "SOLVER.POLY_LR_POWER": "train.poly_power",
     "SOLVER.BACKBONE_MULTIPLIER": "train.backbone_lr_multiplier",
     "SOLVER.CLIP_GRADIENTS.CLIP_VALUE": "train.clip_gradients_value",
     "MODEL.MASK_FORMER.CLASS_WEIGHT": "train.class_weight",
@@ -263,6 +268,12 @@ def config_from_yacs(
             unmapped.append(key)
 
     # transforms with cross-key context
+    if str(cfg.train.lr_scheduler).startswith("Warmup"):  # d2 class names
+        cfg = set_by_path(cfg, "train.lr_scheduler", {
+            "WarmupMultiStepLR": "multistep",
+            "WarmupPolyLR": "poly",
+            "WarmupCosineLR": "cosine",
+        }.get(str(cfg.train.lr_scheduler), "multistep"))
     if "MODEL.MASK_FORMER.DEC_LAYERS" in flat:
         cfg = set_by_path(cfg, "decoder.num_layers", int(flat["MODEL.MASK_FORMER.DEC_LAYERS"]) - 1)
     bb = flat.get("MODEL.BACKBONE.NAME", "")

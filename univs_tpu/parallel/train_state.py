@@ -100,12 +100,50 @@ def _decay_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
+def _lr_schedule(c) -> optax.Schedule:
+    """LR schedule family matching the reference's deeplab
+    ``build_lr_scheduler`` (dispatched on SOLVER.LR_SCHEDULER_NAME).
+
+    - multistep (reference default, WarmupMultiStepLR): linear warmup
+      from ``warmup_factor * lr`` over ``warmup_iters``, then step decay
+      by ``lr_gamma`` at each boundary in ``lr_steps``.
+    - poly (deeplab WarmupPolyLR): lr * (1 - it/max_iter)^poly_power.
+    - cosine: warmup-cosine (kept for TPU-native recipes).
+    """
+    if c.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=c.lr, warmup_steps=c.warmup_iters,
+            decay_steps=c.max_iter, end_value=c.lr * 0.01,
+        )
+
+    def warmup(step):
+        if c.warmup_iters <= 0 or c.warmup_factor >= 1.0:
+            return jnp.float32(1.0)
+        a = jnp.clip(step / c.warmup_iters, 0.0, 1.0)
+        return c.warmup_factor * (1.0 - a) + a
+
+    if c.lr_scheduler == "poly":
+        def sched(step):
+            frac = jnp.clip(1.0 - step / max(c.max_iter, 1), 0.0, 1.0)
+            return c.lr * warmup(step) * frac ** c.poly_power
+        return sched
+
+    assert c.lr_scheduler == "multistep", c.lr_scheduler
+    boundaries = jnp.asarray(sorted(c.lr_steps), jnp.float32) if c.lr_steps else None
+
+    def sched(step):
+        decays = (
+            c.lr_gamma ** jnp.sum(step >= boundaries)
+            if boundaries is not None else 1.0
+        )
+        return c.lr * warmup(step) * decays
+
+    return sched
+
+
 def make_optimizer(cfg: UniVSConfig, params) -> optax.GradientTransformation:
     c = cfg.train
-    sched = optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=c.lr, warmup_steps=c.warmup_iters,
-        decay_steps=c.max_iter, end_value=c.lr * 0.01,
-    )
+    sched = _lr_schedule(c)
 
     def adamw(lr_scale):
         return optax.chain(
