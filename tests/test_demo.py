@@ -62,6 +62,41 @@ def test_demo_text_prompts(tmp_path):
     assert os.path.isfile(out) and os.path.getsize(out) > 0
 
 
+def test_demo_first_frame_mask_vos(tmp_path, capsys):
+    """--mask runs prompt-guided VOS from a DAVIS-style first-frame
+    mask PNG: one tracked overlay per object id."""
+    pytest.importorskip("cv2")
+    from PIL import Image
+
+    frame_dir = tmp_path / "frames"
+    frame_dir.mkdir()
+    rng = np.random.RandomState(4)
+    H, W = 48, 64
+    for i in range(4):
+        arr = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(frame_dir / f"{i:03d}.jpg")
+    lab = np.zeros((H, W), np.uint8)
+    lab[8:20, 10:30] = 1
+    lab[30:44, 34:60] = 2
+    mask_path = tmp_path / "first.png"
+    # NOTE: Image.fromarray(lab, mode="P") silently collapses indices;
+    # grayscale write preserves the object ids (np.array(Image.open)
+    # reads DAVIS palette PNGs as indices either way)
+    Image.fromarray(lab).save(mask_path)
+
+    from tools.demo import run
+
+    out = str(tmp_path / "out_vos.avi")
+    args = types.SimpleNamespace(
+        input=str(frame_dir), output=out, weights=None, bank=None,
+        dataset_ns="ytvis21", backbone="resnet50", score_thres=-1.0,
+        tiny=True, max_frames=4, mask=str(mask_path),
+    )
+    run(args)
+    assert os.path.isfile(out) and os.path.getsize(out) > 0
+    assert "2 entities" in capsys.readouterr().out  # both object ids tracked
+
+
 def test_show_results_from_json(tmp_path):
     """tools/show_results.py: render saved YTVIS-format predictions over
     the dataset frames (reference demo/show_mask_from_json_video.py)."""

@@ -122,6 +122,31 @@ def test_eval_refvos_pipeline(tiny_setup):
     assert 0.0 <= metrics["J"] <= 1.0
 
 
+def test_eval_refvos_real_text_tower(tiny_setup):
+    """RefVOS eval with an actual (tiny random-init) CLIP text tower:
+    expressions run through the tokenizer + transformer + grounding
+    prompt assembly (the path the CLI's --clip-weights enables),
+    not the random-prompt smoke branch."""
+    cfg, params, cls_bank = tiny_setup
+    records = _toy_records()
+    records[0]["task"] = "grounding"
+    records[0]["expressions"] = ["the red box"]
+    records[0]["exp_obj_ids"] = [1]
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+
+    from univs_tpu.engine import _eval_refvos
+    from univs_tpu.models.clip_text import ClipTextEncoder, TextPromptEncoder
+
+    D = cfg.decoder.clip_cls_emb_dim
+    tower = ClipTextEncoder(embed_dim=D, width=16, heads=2, num_layers=1)
+    tparams = tower.init(jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))
+    enc = TextPromptEncoder(tparams, encoder=tower)
+    metrics = _eval_refvos(cfg, params, records, mapper, cls_bank,
+                           text_encoder=enc)
+    assert set(metrics) >= {"J", "F", "J&F"}
+    assert 0.0 <= metrics["J"] <= 1.0
+
+
 def test_eval_image_pipeline(tiny_setup, tmp_path):
     """Image-task eval path (engine evaluator_type 'coco'): synthetic
     COCO-format 1-frame records through ImageDriver -> instance AP +

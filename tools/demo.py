@@ -165,6 +165,10 @@ def main():
                    help="CLIP text-tower params for real expression features "
                         "(without them a seeded random prompt is used and "
                         "masks are smoke-quality only)")
+    p.add_argument("--mask", default=None,
+                   help="first-frame mask PNG (DAVIS convention: 0=bg, value "
+                        "i=object i) -> prompt-guided VOS on a single video "
+                        "(the reference's visual-prompt inference path)")
     args = p.parse_args()
     run(args)
 
@@ -207,7 +211,21 @@ def run(args):
         params = load_params(args.weights)
 
     exprs = getattr(args, "text", None)
-    if exprs:
+    vos_mask_path = getattr(args, "mask", None)
+    assert not (exprs and vos_mask_path), "--text and --mask are exclusive"
+    if vos_mask_path:
+        from PIL import Image
+
+        from univs_tpu.inference.driver import VOSDriver
+
+        vos_mask = np.array(Image.open(vos_mask_path))
+        if vos_mask.ndim == 3:  # RGB mask: any nonzero pixel = one object
+            vos_mask = (vos_mask.sum(-1) > 0).astype(np.uint8)
+        vos_obj_ids = [int(v) for v in np.unique(vos_mask) if v != 0]
+        assert vos_obj_ids, f"no objects in {vos_mask_path}"
+        driver = VOSDriver(cfg, params, capacity=len(vos_obj_ids), num_classes=k,
+                           query_mode=cfg.inference.video_unified_inference_queries)
+    elif exprs:
         from univs_tpu.inference.driver import VOSDriver
         from univs_tpu.structures import TextPrompts
         from univs_tpu.utils.rle import encode_mask_batch
@@ -252,7 +270,31 @@ def run(args):
         images = np.stack([t.apply_image(f) for f in frames]).astype(np.float32)
         ih, iw = transformed_image_size(t, (h, w))
 
-        if exprs:
+        if vos_mask_path:
+            from univs_tpu.utils.rle import encode_mask_batch
+
+            assert vos_mask.shape == (h, w), (
+                "first-frame mask must match the video resolution",
+                vos_mask.shape, (h, w))
+            N = len(vos_obj_ids)
+            Hp, Wp = images.shape[1:3]
+            gt14 = np.zeros((N, len(frames), Hp // 4, Wp // 4), np.float32)
+            for n, oid in enumerate(vos_obj_ids):
+                tm = t.apply_mask((vos_mask == oid).astype(np.uint8))
+                gt14[n, 0] = tm[::4, ::4][: Hp // 4, : Wp // 4]
+            labels = driver.run(
+                images, gt14, np.zeros(N, np.int32), np.ones(N, bool),
+                jnp.asarray(cls_slice), image_size=(ih, iw), out_size=(h, w),
+            )
+            results = [
+                {"score": np.float32(1.0), "object_id": oid,
+                 "segmentations": encode_mask_batch(
+                     (labels == n + 1).astype(np.uint8))}
+                for n, oid in enumerate(vos_obj_ids)
+            ]
+        elif exprs:
+            from univs_tpu.utils.rle import encode_mask_batch
+
             # [n_expr, V, h, w] binary masks -> results-list shape so the
             # same render pipeline (incl. --parallel) applies
             masks = driver.run_grounding(

@@ -54,6 +54,10 @@ def parse_args():
                    help="VOS back-end re-ID variant "
                         "(VIDEO_UNIFIED_INFERENCE_QUERIES)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clip-weights", default=None,
+                   help="CLIP text-tower params: grounding (RefVOS) eval "
+                        "encodes expressions with the real tower instead of "
+                        "the random-prompt smoke path")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the latest state_* checkpoint "
                         "in --output (full state: params + optimizer + EMA + "
@@ -185,9 +189,15 @@ def main():
             # class-agnostic VOS/SOT/MOSE datasets have no category
             # namespace; the drivers only need a nonempty cls_emb
             cls_slice = bank[:1]
+        text_encoder = None
+        if getattr(args, "clip_weights", None):
+            from univs_tpu.models.clip_text import TextPromptEncoder
+
+            text_encoder = TextPromptEncoder(load_params(args.clip_weights))
         metrics = evaluate_dataset(
             cfg, params, args.dataset, cls_slice,
             max_videos=args.max_videos, output_dir=args.output,
+            text_encoder=text_encoder,
         )
         print(json.dumps(metrics))
         return
