@@ -130,3 +130,68 @@ def test_decoder_conversion_structure():
     out = dec.apply({"params": conv}, x_levels, mf, fi,
                     task="detection", text_prompts=tp, cls_emb=cls_emb)
     assert bool(jnp.isfinite(out["pred_masks"]).all())
+
+
+def _d2_resnet50_sd():
+    """Fabricated d2-naming ResNet-50 backbone state dict
+    ('backbone.stem.conv1', 'backbone.res{2-5}.{b}.conv{1-3}.norm.*')."""
+    rng = np.random.RandomState(7)
+
+    def conv(sd, name, cout, cin, k):
+        sd[name + ".weight"] = rng.randn(cout, cin, k, k).astype(np.float32) * 0.05
+        sd[name + ".norm.weight"] = (rng.rand(cout) + 0.5).astype(np.float32)
+        sd[name + ".norm.bias"] = rng.randn(cout).astype(np.float32) * 0.1
+        sd[name + ".norm.running_mean"] = rng.randn(cout).astype(np.float32) * 0.1
+        sd[name + ".norm.running_var"] = (rng.rand(cout) + 0.5).astype(np.float32)
+
+    sd = {}
+    conv(sd, "backbone.stem.conv1", 64, 3, 7)
+    blocks, cins = (3, 4, 6, 3), (64, 256, 512, 1024)
+    for s, nb in enumerate(blocks):
+        cout, mid = 256 * 2 ** s, 64 * 2 ** s
+        for b in range(nb):
+            cin = cins[s] if b == 0 else cout
+            pre = f"backbone.res{s + 2}.{b}"
+            conv(sd, f"{pre}.conv1", mid, cin, 1)
+            conv(sd, f"{pre}.conv2", mid, mid, 3)
+            conv(sd, f"{pre}.conv3", cout, mid, 1)
+            if b == 0:
+                conv(sd, f"{pre}.shortcut", cout, cin, 1)
+    return sd
+
+
+def test_load_params_routes_full_checkpoint(tmp_path):
+    """load_params on a reference-style UniVS .pth must return the
+    CONVERTED param tree (backbone/pixel_decoder/decoder), with encoder
+    and decoder layer counts inferred from the checkpoint keys — not
+    the raw flat torch dict (which would break --weights on the CLI)."""
+    import torch
+
+    from univs_tpu.utils.checkpoint import load_params
+
+    sd = {}
+    sd.update(_fabricate_pixel_decoder_sd())  # 2 encoder layers
+    sd.update(_fabricate_decoder_sd())  # 3 decoder layers
+    sd.update(_d2_resnet50_sd())
+    path = tmp_path / "univs_tiny.pth"
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}}, path)
+
+    params = load_params(str(path))
+    assert set(params) == {"backbone", "pixel_decoder", "decoder"}
+    # layer counts inferred from keys
+    assert "encoder_layer_1" in params["pixel_decoder"]
+    assert "encoder_layer_2" not in params["pixel_decoder"]
+    assert any("cross" in k and k.endswith("_2") for k in params["decoder"])
+    assert params["backbone"]["stem_conv"]["kernel"].shape == (7, 7, 3, 64)
+
+    # the converted tree drives the tiny modules end-to-end
+    cfg = tiny_test_config()
+    pd = build_pixel_decoder(cfg)
+    feats = {
+        "res2": jnp.ones((1, 16, 24, 48)),
+        "res3": jnp.ones((1, 8, 12, 96)),
+        "res4": jnp.ones((1, 4, 6, 192)),
+        "res5": jnp.ones((1, 2, 3, 384)),
+    }
+    out = pd.apply({"params": params["pixel_decoder"]}, feats)
+    assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(out))

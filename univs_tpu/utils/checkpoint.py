@@ -41,7 +41,15 @@ def load_params(path: str) -> Any:
         from univs_tpu.utils.convert import flatten_torch
 
         sd = torch.load(path, map_location="cpu", weights_only=False)
-        return flatten_torch(sd)
+        flat = flatten_torch(sd)
+        if any(k.startswith(("sem_seg_head.", "teacher.sem_seg_head."))
+               for k in flat):
+            # a full reference UniVS checkpoint: run the activation-
+            # verified converters (backbone + pixel decoder + decoder)
+            from univs_tpu.utils.convert_univs import convert_univs_checkpoint
+
+            return convert_univs_checkpoint(flat)
+        return flat
     if path.endswith(".npz"):
         return dict(np.load(path, allow_pickle=True))
     raise ValueError(f"unknown checkpoint format: {path}")

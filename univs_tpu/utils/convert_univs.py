@@ -155,15 +155,47 @@ def convert_decoder(sd: Dict[str, np.ndarray], num_layers: int = 9, hidden: int 
     return out
 
 
+def _max_index(sd: Dict, prefix: str) -> int:
+    """1 + highest integer following ``prefix`` in any key (0 if none)."""
+    best = -1
+    for k in sd:
+        if k.startswith(prefix):
+            tail = k[len(prefix):].split(".", 1)[0]
+            if tail.isdigit():
+                best = max(best, int(tail))
+    return best + 1
+
+
 def convert_univs_checkpoint(sd: Dict[str, np.ndarray], resnet_depth: int = 50,
-                             num_dec_layers: int = 9, num_enc_layers: int = 6,
+                             num_dec_layers: int = None, num_enc_layers: int = None,
                              prefer_ema: bool = True) -> Dict:
     """Full reference checkpoint -> {'backbone', 'pixel_decoder',
-    'decoder'} param tree for UniVSModel."""
+    'decoder'} param tree for UniVSModel.
+
+    Layer counts default to what the checkpoint actually contains; the
+    backbone converter is picked from the key shape (Swin
+    ``backbone.patch_embed``/``layers.S.blocks.B`` vs d2 ResNet
+    ``backbone.stem``/``res{2-5}``)."""
     sd = _strip_prefixes(sd, prefer_ema)
+    if num_enc_layers is None:
+        num_enc_layers = _max_index(
+            sd, "sem_seg_head.pixel_decoder.transformer.encoder.layers.") or 6
+    if num_dec_layers is None:
+        num_dec_layers = _max_index(
+            sd, "sem_seg_head.predictor.transformer_cross_attention_layers.") or 9
     backbone_sd = {k: v for k, v in sd.items() if k.startswith("backbone.")}
+    if any(k.startswith("backbone.patch_embed") for k in backbone_sd):
+        from univs_tpu.utils.convert import convert_swin
+
+        depths = tuple(
+            _max_index(backbone_sd, f"backbone.layers.{s}.blocks.")
+            for s in range(_max_index(backbone_sd, "backbone.layers."))
+        )
+        backbone = convert_swin(backbone_sd, depths=depths)
+    else:
+        backbone = convert_resnet(backbone_sd, depth=resnet_depth)
     return {
-        "backbone": convert_resnet(backbone_sd, depth=resnet_depth),
+        "backbone": backbone,
         "pixel_decoder": convert_pixel_decoder(sd, num_enc_layers),
         "decoder": convert_decoder(sd, num_dec_layers),
     }
