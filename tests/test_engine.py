@@ -147,6 +147,35 @@ def test_eval_refvos_real_text_tower(tiny_setup):
     assert 0.0 <= metrics["J"] <= 1.0
 
 
+def test_predict_only_no_gt(tiny_setup, tmp_path):
+    """evaluator_type=None datasets (custom_videos etc.) run prediction
+    only: VIS results.json for detection records, per-expression mask
+    trees for grounding records, no metric stage (reference
+    CUSTOM_VIDEOS flows)."""
+    cfg, params, cls_bank = tiny_setup
+    det = _toy_records()[0]
+    det["annotations"] = []  # no GT
+    gnd = _toy_records()[0].copy()
+    gnd["video_id"] = 2
+    gnd["task"] = "grounding"
+    gnd["expressions"] = ["the box"]
+    gnd["annotations"] = []
+    gnd["video_name"] = "vid2"
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+
+    from univs_tpu.engine import _predict_only
+
+    metrics = _predict_only(cfg, params, [det, gnd], mapper, cls_bank,
+                            output_dir=str(tmp_path))
+    assert metrics["num_videos"] == 2.0 and metrics["fps"] > 0
+    import os as _os
+
+    # rvos tree for the grounding record (one dir per expression)
+    assert _os.path.isdir(_os.path.join(tmp_path, "inference", "Annotations", "vid2"))
+    if metrics["num_predictions"]:  # random weights may emit none
+        assert _os.path.isfile(_os.path.join(tmp_path, "results.json"))
+
+
 def test_eval_image_pipeline(tiny_setup, tmp_path):
     """Image-task eval path (engine evaluator_type 'coco'): synthetic
     COCO-format 1-frame records through ImageDriver -> instance AP +

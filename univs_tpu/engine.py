@@ -56,7 +56,77 @@ def evaluate_dataset(
     if spec.evaluator_type == "coco":
         return _eval_image(cfg, params, records, mapper, cls_bank,
                            thing_ids=set(spec.thing_ids or ()), output_dir=output_dir)
+    if spec.evaluator_type is None:
+        # no-GT datasets (custom_videos, raw-video corpora): prediction
+        # only — the reference runs its drivers and writes outputs with
+        # no metric stage (CUSTOM_VIDEOS_ENABLE, univs/config.py:151)
+        return _predict_only(cfg, params, records, mapper, cls_bank,
+                             text_encoder=text_encoder, output_dir=output_dir)
     raise NotImplementedError(f"evaluator {spec.evaluator_type} for {dataset_name}")
+
+
+def _predict_only(cfg, params, records, mapper, cls_bank, text_encoder=None,
+                  output_dir=None):
+    """Inference without ground truth: VIS results.json for detection
+    records; per-expression mask trees for grounding records
+    (reference: custom-video flows in inference_video_entity/vos)."""
+    cls_emb = jnp.asarray(cls_bank, jnp.float32)
+    preds: List[Dict] = []
+    t0, total_frames, n_videos = time.time(), 0, 0
+    det_driver = None
+    for rec in records:
+        s = mapper(rec)
+        n_videos += 1
+        total_frames += s["video_len"]
+        exprs = rec.get("expressions", [])
+        if rec.get("task") == "grounding" and exprs:
+            n = len(exprs)
+            driver = VOSDriver(cfg, params, capacity=n, num_classes=cls_bank.shape[0],
+                               query_mode=cfg.inference.video_unified_inference_queries)
+            if text_encoder is not None:
+                from univs_tpu.prompts.prepare_targets import PrepareTargets
+
+                tp = PrepareTargets(cls_bank, text_encoder).grounding_inputs(exprs, pad_to=n)
+            else:
+                rng = np.random.RandomState(0)
+                from univs_tpu.structures import TextPrompts
+
+                tp = TextPrompts(
+                    embs=jnp.asarray(rng.randn(1, n, 4, cls_bank.shape[-1]), jnp.float32),
+                    valid=jnp.ones((1, n), bool),
+                )
+            masks = driver.run_grounding(
+                s["images"], tp.embs, tp.valid, cls_emb, n_expressions=n,
+                image_size=s["image_size"], out_size=s["out_size"],
+            )
+            if output_dir:
+                from univs_tpu.evaluation.submission import emit_rvos_submission
+
+                emit_rvos_submission(
+                    output_dir, rec.get("video_name", str(rec["video_id"])),
+                    rec.get("exp_ids", [str(e) for e in range(n)]),
+                    rec.get("file_names") or [f"{t:05d}.jpg" for t in range(masks.shape[1])],
+                    masks,
+                )
+        else:
+            if det_driver is None:
+                det_driver = EntityDriver(cfg, params, num_classes=cls_bank.shape[0],
+                                          capacity=cfg.inference.max_num_instances)
+            ent = det_driver.run_vis(
+                s["images"], cls_emb, image_size=s["image_size"], out_size=s["out_size"]
+            )
+            preds += vis_results_to_ytvis_json(
+                s["video_id"], s["video_len"], *s["out_size"], ent,
+                apply_cls_thresh=cfg.inference.apply_cls_thres,
+                topk_per_video=cfg.inference.topk_per_video,
+            )
+    if output_dir and preds:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "results.json"), "w") as f:
+            json.dump(preds, f)
+    dt = time.time() - t0
+    return {"num_videos": float(n_videos), "num_predictions": float(len(preds)),
+            "fps": total_frames / max(dt, 1e-6)}
 
 
 def _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir):
