@@ -147,6 +147,22 @@ def test_eval_refvos_real_text_tower(tiny_setup):
     assert 0.0 <= metrics["J"] <= 1.0
 
 
+def test_eval_ytvis_two_device_pipeline(tiny_setup, tmp_path):
+    """engine eval with pipeline_devices: encode on device 0, decode on
+    device 1 (the CLI --pipeline flag) must reproduce the single-device
+    metrics exactly on the virtual CPU mesh."""
+    cfg, params, cls_bank = tiny_setup
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    records = _toy_records()
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+    single = _eval_ytvis(cfg, params, records, mapper, cls_bank, None)
+    piped = _eval_ytvis(cfg, params, records, mapper, cls_bank, None,
+                        pipeline_devices=(jax.devices()[0], jax.devices()[1]))
+    for key in ("AP", "AP50"):
+        assert np.isclose(single[key], piped[key], equal_nan=True), (key, single, piped)
+
+
 def test_predict_only_no_gt(tiny_setup, tmp_path):
     """evaluator_type=None datasets (custom_videos etc.) run prediction
     only: VIS results.json for detection records, per-expression mask

@@ -165,6 +165,9 @@ def main():
                    help="CLIP text-tower params for real expression features "
                         "(without them a seeded random prompt is used and "
                         "masks are smoke-quality only)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="two-chip pipelined streaming (encode on device 0, "
+                        "decode + memory pool on device 1); needs >=2 devices")
     p.add_argument("--mask", default=None,
                    help="first-frame mask PNG (DAVIS convention: 0=bg, value "
                         "i=object i) -> prompt-guided VOS on a single video "
@@ -251,8 +254,14 @@ def run(args):
                 valid=jnp.ones((1, n_expr), bool),
             )
     else:
+        pipeline_devices = None
+        if getattr(args, "pipeline", False):
+            from univs_tpu.engine import _pipeline_pair
+
+            pipeline_devices = _pipeline_pair()
         driver = EntityDriver(cfg, params, num_classes=k,
-                              capacity=cfg.inference.max_num_instances)
+                              capacity=cfg.inference.max_num_instances,
+                              pipeline_devices=pipeline_devices)
 
     inputs = args.input if isinstance(args.input, (list, tuple)) else [args.input]
     multi = len(inputs) > 1

@@ -58,6 +58,9 @@ def parse_args():
                    help="CLIP text-tower params: grounding (RefVOS) eval "
                         "encodes expressions with the real tower instead of "
                         "the random-prompt smoke path")
+    p.add_argument("--pipeline", action="store_true",
+                   help="two-chip pipelined streaming for entity-driver eval "
+                        "(encode on device 0, decode + pool on device 1)")
     p.add_argument("--resume", action="store_true",
                    help="resume training from the latest state_* checkpoint "
                         "in --output (full state: params + optimizer + EMA + "
@@ -197,7 +200,7 @@ def main():
         metrics = evaluate_dataset(
             cfg, params, args.dataset, cls_slice,
             max_videos=args.max_videos, output_dir=args.output,
-            text_encoder=text_encoder,
+            text_encoder=text_encoder, pipeline=getattr(args, "pipeline", False),
         )
         print(json.dumps(metrics))
         return

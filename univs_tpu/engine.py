@@ -32,7 +32,12 @@ def evaluate_dataset(
     max_videos: Optional[int] = None,
     output_dir: Optional[str] = None,
     text_encoder=None,
+    pipeline: bool = False,
 ) -> Dict[str, float]:
+    """``pipeline``: two-chip pipelined streaming for the entity-driver
+    tasks (encode on device 0, decode + memory pool on device 1 —
+    EntityDriver(pipeline_devices=...)); ignored with a warning when
+    fewer than two devices are visible."""
     spec = get_spec(dataset_name)
     records = load_dataset(dataset_name)
     if max_videos:
@@ -40,9 +45,11 @@ def evaluate_dataset(
     mapper = EvalVideoMapper(
         short=cfg.inference.min_size_test, size_divisibility=cfg.inference.size_divisibility
     )
+    pipeline_devices = _pipeline_pair() if pipeline else None
 
     if spec.evaluator_type == "ytvis":
-        return _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir)
+        return _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir,
+                           pipeline_devices=pipeline_devices)
     if spec.task == "grounding":
         return _eval_refvos(cfg, params, records, mapper, cls_bank,
                             text_encoder=text_encoder, output_dir=output_dir)
@@ -52,7 +59,8 @@ def evaluate_dataset(
         return _eval_vss(cfg, params, records, mapper, cls_bank)
     if spec.evaluator_type == "vps":
         return _eval_vps(cfg, params, records, mapper, cls_bank,
-                         thing_ids=set(spec.thing_ids or ()), output_dir=output_dir)
+                         thing_ids=set(spec.thing_ids or ()), output_dir=output_dir,
+                         pipeline_devices=pipeline_devices)
     if spec.evaluator_type == "coco":
         return _eval_image(cfg, params, records, mapper, cls_bank,
                            thing_ids=set(spec.thing_ids or ()), output_dir=output_dir)
@@ -129,11 +137,29 @@ def _predict_only(cfg, params, records, mapper, cls_bank, text_encoder=None,
             "fps": total_frames / max(dt, 1e-6)}
 
 
-def _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir):
+def _pipeline_pair():
+    """(encode_device, decode_device) for two-chip streaming, or None
+    (with a warning) when a second device is unavailable."""
+    import jax
+
+    ds = jax.devices()
+    if len(ds) >= 2:
+        return (ds[0], ds[1])
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "pipeline requested but only %d device(s) visible — running single-device",
+        len(ds))
+    return None
+
+
+def _eval_ytvis(cfg, params, records, mapper, cls_bank, output_dir,
+                pipeline_devices=None):
     from univs_tpu.evaluation.ytvis import YTVISEval
 
     driver = EntityDriver(cfg, params, num_classes=cls_bank.shape[0],
-                          capacity=cfg.inference.max_num_instances)
+                          capacity=cfg.inference.max_num_instances,
+                          pipeline_devices=pipeline_devices)
     cls_emb = jnp.asarray(cls_bank, jnp.float32)
     preds: List[Dict] = []
     gts: List[Dict] = []
@@ -211,12 +237,14 @@ def _eval_vss(cfg, params, records, mapper, cls_bank):
             "fps": total_frames / max(time.time() - t0, 1e-6)}
 
 
-def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids, output_dir=None):
+def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids, output_dir=None,
+              pipeline_devices=None):
     from univs_tpu.evaluation.stq import STQAccumulator
     from univs_tpu.evaluation.vpq import vpq_single_video
 
     driver = EntityDriver(cfg, params, num_classes=cls_bank.shape[0],
-                          capacity=cfg.inference.max_num_instances)
+                          capacity=cfg.inference.max_num_instances,
+                          pipeline_devices=pipeline_devices)
     cls_emb = jnp.asarray(cls_bank, jnp.float32)
     K = cls_bank.shape[0]
     # spec.thing_ids are 1-based VIPSeg category ids; the class maps fed to
