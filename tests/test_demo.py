@@ -62,6 +62,37 @@ def test_demo_text_prompts(tmp_path):
     assert os.path.isfile(out) and os.path.getsize(out) > 0
 
 
+def test_demo_batched_serving(tmp_path, capsys):
+    """--batch N: lockstep-batched VIS over same-resolution inputs
+    (BatchedVISServer), incl. a short final chunk padded by repetition."""
+    pytest.importorskip("cv2")
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    dirs = []
+    for v in range(3):  # 3 videos, batch 2 -> one full + one padded chunk
+        d = tmp_path / f"bframes{v}"
+        d.mkdir()
+        for i in range(4):
+            arr = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i:03d}.jpg")
+        dirs.append(str(d))
+
+    from tools.demo import run
+
+    outdir = tmp_path / "bouts"
+    args = types.SimpleNamespace(
+        input=dirs, output=str(outdir), weights=None, bank=None,
+        dataset_ns="ytvis21", backbone="resnet50", score_thres=-1.0,
+        tiny=True, max_frames=4, batch=2,
+    )
+    run(args)
+    for v in range(3):
+        o = os.path.join(outdir, f"bframes{v}_overlay.avi")
+        assert os.path.isfile(o) and os.path.getsize(o) > 0
+    assert capsys.readouterr().out.count("wrote") == 3
+
+
 def test_demo_first_frame_mask_vos(tmp_path, capsys):
     """--mask runs prompt-guided VOS from a DAVIS-style first-frame
     mask PNG: one tracked overlay per object id."""

@@ -168,6 +168,10 @@ def main():
     p.add_argument("--pipeline", action="store_true",
                    help="two-chip pipelined streaming (encode on device 0, "
                         "decode + memory pool on device 1); needs >=2 devices")
+    p.add_argument("--batch", type=int, default=1,
+                   help="lockstep-batched VIS serving: decode N videos per "
+                        "dispatch (BatchedVISServer); inputs are grouped by "
+                        "padded resolution")
     p.add_argument("--mask", default=None,
                    help="first-frame mask PNG (DAVIS convention: 0=bg, value "
                         "i=object i) -> prompt-guided VOS on a single video "
@@ -253,15 +257,17 @@ def run(args):
                 embs=jnp.asarray(rngt.randn(1, n_expr, 4, cls_slice.shape[-1]), jnp.float32),
                 valid=jnp.ones((1, n_expr), bool),
             )
-    else:
+    batch = max(1, getattr(args, "batch", 1))
+    if not (exprs or vos_mask_path):
         pipeline_devices = None
         if getattr(args, "pipeline", False):
             from univs_tpu.engine import _pipeline_pair
 
             pipeline_devices = _pipeline_pair()
-        driver = EntityDriver(cfg, params, num_classes=k,
-                              capacity=cfg.inference.max_num_instances,
-                              pipeline_devices=pipeline_devices)
+        if batch == 1:
+            driver = EntityDriver(cfg, params, num_classes=k,
+                                  capacity=cfg.inference.max_num_instances,
+                                  pipeline_devices=pipeline_devices)
 
     inputs = args.input if isinstance(args.input, (list, tuple)) else [args.input]
     multi = len(inputs) > 1
@@ -271,13 +277,55 @@ def run(args):
             args.score_thres, num_workers=getattr(args, "num_render_workers", 2)
         )
 
-    for inp in inputs:
+    def emit(inp, frames, results):
+        out_path = _out_path_for(args.output, inp, multi)
+        if pipeline is not None:
+            pipeline.put(frames, results, out_path)
+        else:
+            n, e = render_and_write(frames, results, out_path, args.score_thres)
+            print(f"wrote {out_path} ({n} frames, {e} entities)")
+
+    def prep(inp):
         frames = read_frames(inp, max_frames=getattr(args, "max_frames", 300))
         assert frames, f"no frames read from {inp}"
         h, w = frames[0].shape[:2]
         t = resize_shortest_edge((h, w), cfg.inference.min_size_test, 1333, 32)
         images = np.stack([t.apply_image(f) for f in frames]).astype(np.float32)
         ih, iw = transformed_image_size(t, (h, w))
+        return frames, t, images, (ih, iw), (h, w)
+
+    if batch > 1 and not (exprs or vos_mask_path):
+        # lockstep-batched VIS serving: N videos per dispatch, grouped
+        # by padded resolution (BatchedVISServer requires one shape);
+        # short chunks are padded by repeating the last video and the
+        # padding's results are dropped
+        from univs_tpu.inference.serving import BatchedVISServer
+
+        server = BatchedVISServer(cfg, params, num_classes=k,
+                                  capacity=cfg.inference.max_num_instances,
+                                  batch_size=batch)
+        groups = {}
+        for inp in inputs:
+            item = (inp, *prep(inp))
+            groups.setdefault(item[3].shape[1:3], []).append(item)
+        for items in groups.values():
+            for c0 in range(0, len(items), batch):
+                chunk = items[c0 : c0 + batch]
+                padded = chunk + [chunk[-1]] * (batch - len(chunk))
+                res = server.run_vis(
+                    [it[3] for it in padded], jnp.asarray(cls_slice),
+                    image_sizes=[it[4] for it in padded],
+                    out_sizes=[it[5] for it in padded],
+                )
+                for (inp, frames, _, _, _, _), results in zip(chunk, res):
+                    emit(inp, frames, results)
+        if pipeline is not None:
+            for out_path, n, e in pipeline.shutdown():
+                print(f"wrote {out_path} ({n} frames, {e} entities)")
+        return
+
+    for inp in inputs:
+        frames, t, images, (ih, iw), (h, w) = prep(inp)
 
         if vos_mask_path:
             from univs_tpu.utils.rle import encode_mask_batch
@@ -319,12 +367,7 @@ def run(args):
             results = driver.run_vis(
                 images, jnp.asarray(cls_slice), image_size=(ih, iw), out_size=(h, w)
             )
-        out_path = _out_path_for(args.output, inp, multi)
-        if pipeline is not None:
-            pipeline.put(frames, results, out_path)
-        else:
-            n, e = render_and_write(frames, results, out_path, args.score_thres)
-            print(f"wrote {out_path} ({n} frames, {e} entities)")
+        emit(inp, frames, results)
 
     if pipeline is not None:
         for out_path, n, e in pipeline.shutdown():
