@@ -211,6 +211,20 @@ def _install_shims() -> None:
     modeling.SEM_SEG_HEADS_REGISTRY = Registry("SEM_SEG_HEADS")
     modeling.META_ARCH_REGISTRY = Registry("META_ARCH")
     modeling.BACKBONE_REGISTRY = Registry("BACKBONE")
+
+    class Backbone(nn.Module):
+        """d2 Backbone base: the reference D2SwinTransformer only needs
+        an nn.Module MRO anchor + size_divisibility/output_shape."""
+
+        @property
+        def size_divisibility(self):
+            return 0
+
+        def output_shape(self):
+            return {}
+
+    modeling.Backbone = Backbone
+    modeling.ShapeSpec = ShapeSpec
     d2.modeling = modeling
 
     pf = _mod("detectron2.projects.point_rend.point_features")
@@ -453,6 +467,16 @@ def load_reference_pixel_decoder_module():
     import importlib
 
     return importlib.import_module("mask2former.modeling.pixel_decoder.msdeformattn")
+
+
+def load_reference_swin_module():
+    """The reference Swin backbone (mask2former/modeling/backbone/swin.py;
+    D2SwinTransformer :687 wraps SwinTransformer :498 with cfg plumbing —
+    the plain class takes the same args directly)."""
+    install()
+    import importlib
+
+    return importlib.import_module("mask2former.modeling.backbone.swin")
 
 
 def load_reference_text_encoder_module():

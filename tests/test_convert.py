@@ -177,3 +177,93 @@ def test_swin_conversion_structure():
     assert missing == [], missing[:8]
     out = model.apply({"params": converted}, x)
     assert all(bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(out))
+
+
+def test_resnet_full_activation_parity():
+    """ALL FOUR output scales vs a functional-torch R50 built from the
+    same state dict — d2 STRIDE_IN_1X1=False IS torchvision geometry
+    (reference configs/univs/Base.yaml:12), so the oracle puts the
+    stage stride on the 3x3 conv.  Closes the round-3 gap where only
+    the stem had numeric parity."""
+    import torch.nn.functional as F
+
+    sd = _torch_bottleneck_stack()
+    converted = convert_resnet(flatten_torch(sd), depth=50)
+    model = ResNet(depth=50)
+    x = np.random.RandomState(1).rand(1, 64, 96, 3).astype(np.float32)
+    outs = model.apply({"params": converted}, jnp.asarray(x))
+
+    def bn(t, p):
+        return F.batch_norm(
+            t, sd[p + ".running_mean"], sd[p + ".running_var"],
+            sd[p + ".weight"], sd[p + ".bias"], training=False, eps=1e-5)
+
+    with torch.no_grad():
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        t = F.conv2d(t, sd["conv1.weight"], stride=2, padding=3)
+        t = F.max_pool2d(F.relu(bn(t, "bn1")), 3, 2, 1)
+        for s, nb in enumerate((3, 4, 6, 3)):
+            for b in range(nb):
+                pre = f"layer{s + 1}.{b}"
+                stride = 2 if (b == 0 and s > 0) else 1
+                idn = t
+                y = F.relu(bn(F.conv2d(t, sd[pre + ".conv1.weight"]), pre + ".bn1"))
+                y = F.relu(bn(F.conv2d(y, sd[pre + ".conv2.weight"],
+                                       stride=stride, padding=1), pre + ".bn2"))
+                y = bn(F.conv2d(y, sd[pre + ".conv3.weight"]), pre + ".bn3")
+                if pre + ".downsample.0.weight" in sd:
+                    idn = bn(F.conv2d(t, sd[pre + ".downsample.0.weight"],
+                                      stride=stride), pre + ".downsample.1")
+                t = F.relu(y + idn)
+            ref = t.numpy().transpose(0, 2, 3, 1)
+            got = np.asarray(outs[f"res{s + 2}"])
+            tol = 1e-4 * max(float(np.abs(ref).max()), 1e-3)
+            np.testing.assert_allclose(got, ref, atol=tol,
+                                       err_msg=f"res{s + 2}")
+
+
+def test_swin_full_activation_parity():
+    """Converted Swin vs the REAL reference SwinTransformer
+    (mask2former/modeling/backbone/swin.py:498; D2SwinTransformer :687
+    is a cfg wrapper over the same forward) — all four scales, random
+    weights, non-window-multiple input (exercises padding, cyclic
+    shift, relative position bias, patch merging)."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    import ref_shim
+    from univs_tpu.models.backbones.swin import SwinTransformer
+    from univs_tpu.utils.convert import convert_swin, report_unconverted
+
+    mod = ref_shim.load_reference_swin_module()
+    depths, heads, dim, window = (2, 2, 2, 2), (2, 4, 8, 16), 32, 7
+    ref = mod.SwinTransformer(
+        pretrain_img_size=224, patch_size=4, in_chans=3, embed_dim=dim,
+        depths=list(depths), num_heads=list(heads), window_size=window,
+        mlp_ratio=4.0, qkv_bias=True, qk_scale=None, drop_rate=0.0,
+        attn_drop_rate=0.0, drop_path_rate=0.0, ape=False, patch_norm=True,
+        out_indices=(0, 1, 2, 3), frozen_stages=-1, use_checkpoint=False,
+    )
+    # NOTE: the reference overrides train() without returning self
+    # (swin.py:680-683), so .eval() returns None — call it separately.
+    ref.eval()
+    g = torch.Generator().manual_seed(3)
+    with torch.no_grad():
+        for p_ in ref.parameters():
+            p_.copy_(torch.randn(p_.shape, generator=g) * 0.05)
+
+    sd = {k: v.clone() for k, v in ref.state_dict().items()}
+    converted = convert_swin(flatten_torch(sd), depths=depths)
+    model = SwinTransformer(embed_dim=dim, depths=depths, num_heads=heads,
+                            window=window)
+    x = np.random.RandomState(2).rand(1, 64, 96, 3).astype(np.float32)
+    params0 = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    assert report_unconverted(params0, converted) == []
+    outs = model.apply({"params": converted}, jnp.asarray(x))
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for i in range(4):
+        name = f"res{i + 2}"
+        r = ref_out[name].numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(outs[name])
+        tol = 1e-4 * max(float(np.abs(r).max()), 1e-3)
+        np.testing.assert_allclose(got, r, atol=tol, err_msg=name)

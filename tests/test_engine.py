@@ -108,6 +108,24 @@ def test_eval_vos_pipeline(tiny_setup):
     assert 0.0 <= metrics["J"] <= 1.0
 
 
+def test_eval_pvos_pipeline(tiny_setup):
+    """VIPOSeg protocol path: four-bucket G with ref-frame exclusion."""
+    cfg, params, cls_bank = tiny_setup
+    records = _toy_records()
+    records[0]["task"] = "sot"
+    mapper = _ArrayMapper(short=64, max_size=128, size_divisibility=32)
+    metrics = _eval_vos(cfg, params, records, mapper, cls_bank, pvos=True)
+    assert "overall_iou" in metrics and "G" in metrics
+    import numpy as _np
+    vals = [metrics[f"{b}_iou"] for b in
+            ("thing_seen", "thing_unseen", "stuff_seen", "stuff_unseen")]
+    # toy categories land in at least one bucket; scores are in [0, 1]
+    assert any(not _np.isnan(v) for v in vals)
+    for v in vals:
+        if not _np.isnan(v):
+            assert 0.0 <= v <= 1.0
+
+
 def test_eval_refvos_pipeline(tiny_setup):
     cfg, params, cls_bank = tiny_setup
     records = _toy_records()

@@ -125,6 +125,8 @@ def test_ytvis_crowd_matched_detection_is_ignored():
 def test_pvos_groups():
     gt = np.stack([np.stack([_blob(16, 16, 2, 8, 2, 8)] * 3),
                    np.stack([_blob(16, 16, 9, 14, 9, 14)] * 3)])
-    res = evaluate_pvos_video(gt, gt, obj_classes=[1, 50], stuff_classes={50})
+    # 60 = thing_seen, 28 = stuff_seen (VIPOSeg tables); ref frame 0 is
+    # excluded, frames 1..2 score 1.0 for a perfect prediction
+    res = evaluate_pvos_video(gt, gt, obj_classes=[60, 28])
+    assert res["thing_seen_iou"] == 1.0 and res["stuff_seen_iou"] == 1.0
     assert res["G"] == 1.0
-    assert res["thing"] == 1.0 and res["stuff"] == 1.0

@@ -127,7 +127,9 @@ def _outer2d_win_kernel(S, W, H, bqq, subq, M, P, dtype, Hw, align):
 
                 @pl.when(ok == 1)
                 def _(c=c, m=m, ys0=ys0):
-                    start = pl.multiple_of(ys0 * W, 8 * align)
+                    # ystart = k*align only guarantees ys0*W % 8 == 0
+                    # (via (W*align) % 8 == 0), not % (8*align)
+                    start = pl.multiple_of(ys0 * W, 8)
                     vw = v_ref[0, m, pl.ds(start, SW), :]
                     o_ref[0, m, pl.ds(c * subq, subq)] = jnp.dot(
                         plane(ys0.astype(jnp.float32)), vw,

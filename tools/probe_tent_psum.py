@@ -166,7 +166,12 @@ def msda_psum2d_win(slab_raster, rows, RQ, D, P, W, Hw, *, bqq=2048, subq=512):
     y0b = y0c.reshape(n, nb, nsub, subq, m, P)
     ymin = y0b.min(axis=(3, 5))  # [N, nb, nsub, M]
     ymax = y0b.max(axis=(3, 5))
-    ystart = jnp.minimum(ymin, H - Hw)
+    # ystart*W must be a multiple of 8 sublanes: round ystart down to the
+    # smallest align with (W*align)%8 == 0 (W=60 at level 1/16 gives 2)
+    align = 1
+    while (W * align) % 8:
+        align *= 2
+    ystart = jnp.minimum(ymin // align * align, (H - Hw) // align * align)
     ok = (jnp.minimum(ymax + 1, H - 1) < ystart + Hw).astype(jnp.int32)
     meta = jnp.stack([ystart, ok], axis=-1)
 
@@ -225,8 +230,12 @@ def rows_qmajor(loc, wa, hh, ww, bqq=2048):
     rows = np.concatenate([x, y, w], axis=2)  # [N, S, 3MP]
     pad = (-S) % bqq
     if pad:
+        # pad x far out of range (zero tent) but y MID-RANGE: a -10 y
+        # sentinel clips to y0=0 in the window min/max metadata and
+        # artificially deflates the reported hit rate
         fill = np.zeros((N, pad, rows.shape[2]))
-        fill[:, :, : 2 * M * P] = -10.0
+        fill[:, :, : M * P] = -10.0
+        fill[:, :, M * P: 2 * M * P] = float(hh // 2)
         rows = np.concatenate([rows, fill], axis=1)
     return jnp.asarray(rows, jnp.float32)
 

@@ -59,6 +59,9 @@ def load_ytvis_json(
                 {
                     "id": ann["id"],
                     "category_id": cat_map.get(ann.get("category_id"), 0),
+                    # original json id — the VIPOSeg G protocol buckets by
+                    # the dataset's own class ids, not the contiguous remap
+                    "raw_category_id": ann.get("category_id", 0),
                     "segmentations": ann.get("segmentations"),
                     "bboxes": ann.get("bboxes"),
                     "areas": ann.get("areas"),

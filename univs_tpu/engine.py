@@ -53,8 +53,11 @@ def evaluate_dataset(
     if spec.task == "grounding":
         return _eval_refvos(cfg, params, records, mapper, cls_bank,
                             text_encoder=text_encoder, output_dir=output_dir)
-    if spec.evaluator_type in ("davis", "pvos"):
+    if spec.evaluator_type == "davis":
         return _eval_vos(cfg, params, records, mapper, cls_bank, output_dir=output_dir)
+    if spec.evaluator_type == "pvos":
+        return _eval_vos(cfg, params, records, mapper, cls_bank, output_dir=output_dir,
+                         pvos=True)
     if spec.evaluator_type == "vss":
         return _eval_vss(cfg, params, records, mapper, cls_bank)
     if spec.evaluator_type == "vps":
@@ -199,6 +202,7 @@ def _gt_label_maps(rec, sem: bool):
     H, W = rec["height"], rec["width"]
     lab = np.full((V, H, W), 255 if sem else 0, np.int32)
     cats = {}
+    crowd = {}
     for ann in rec["annotations"]:
         for fi in range(V):
             segm = (ann["segmentations"] or [None] * V)[fi]
@@ -210,7 +214,10 @@ def _gt_label_maps(rec, sem: bool):
             else:
                 lab[fi][m > 0] = ann["id"]
                 cats[ann["id"]] = ann["category_id"] - 1
-    return (lab, cats)
+                crowd[ann["id"]] = bool(ann.get("iscrowd", 0))
+    if sem:
+        return (lab, cats)
+    return (lab, cats, crowd)
 
 
 def _eval_vss(cfg, params, records, mapper, cls_bank):
@@ -269,10 +276,11 @@ def _eval_vps(cfg, params, records, mapper, cls_bank, thing_ids, output_dir=None
                 rec.get("file_names") or [f"{t:05d}.jpg" for t in range(pan.shape[0])],
                 pan, seg_info,
             ))
-        gt_lab, gt_cats = _gt_label_maps(rec, sem=False)
+        gt_lab, gt_cats, gt_crowd = _gt_label_maps(rec, sem=False)
         pr_cats = {si["id"]: si["category_id"] - 1 for si in seg_info}
         spans = tuple(k for k in (1, 2, 4, 6) if k <= rec["length"])
-        vpqs.append(vpq_single_video(list(gt_lab), gt_cats, list(pan), pr_cats, K, spans)["vpq"])
+        vpqs.append(vpq_single_video(list(gt_lab), gt_cats, list(pan), pr_cats,
+                                     K, spans, gt_crowd=gt_crowd)["vpq"])
         for t in range(rec["length"]):
             gt_cls = np.vectorize(lambda i: gt_cats.get(i, 255))(gt_lab[t]).astype(np.int64)
             pr_cls = np.vectorize(lambda i: pr_cats.get(i, 0))(pan[t]).astype(np.int64)
@@ -352,7 +360,7 @@ def _eval_image(cfg, params, records, mapper, cls_bank, thing_ids, output_dir=No
                 object_mask_threshold=inf.object_mask_threshold,
                 overlap_threshold=inf.overlap_threshold,
             )
-            gt_lab, gt_cats = _gt_label_maps(rec, sem=False)
+            gt_lab, gt_cats, _ = _gt_label_maps(rec, sem=False)
             gt_segments = [
                 {"id": ann["id"], "category_id": gt_cats[ann["id"]],
                  "iscrowd": ann.get("iscrowd", 0)}
@@ -441,11 +449,19 @@ def _eval_refvos(cfg, params, records, mapper, cls_bank, text_encoder=None,
     return {"J": j, "F": f, "J&F": (j + f) / 2, "fps": total_frames / max(dt, 1e-6)}
 
 
-def _eval_vos(cfg, params, records, mapper, cls_bank, output_dir=None):
+def _eval_vos(cfg, params, records, mapper, cls_bank, output_dir=None,
+              pvos=False):
+    """DAVIS/YTVOS J&F, or — with ``pvos=True`` — the VIPOSeg G protocol
+    (reference eval_pvos.py): per-(object, frame) mIoU+bIoU samples
+    pooled into thing/stuff x seen/unseen buckets across ALL videos,
+    objects scored only after their reference (first-appearance) frame,
+    G = mean of the four bucket scores."""
     from univs_tpu.evaluation.davis import evaluate_davis_sequence
+    from univs_tpu.evaluation import pvos as pvos_eval
 
     cls_emb = jnp.asarray(cls_bank, jnp.float32)
     res_j, res_f = [], []
+    pvos_buckets: Dict[str, list] = {}
     t0 = time.time()
     total_frames = 0
     for rec in records:
@@ -488,10 +504,46 @@ def _eval_vos(cfg, params, records, mapper, cls_bank, output_dir=None):
                 obj_ids=[a["id"] for a in anns],
             )
         pred_masks = np.stack([(labels == n + 1) for n in range(N)]).astype(np.uint8)
-        r = evaluate_davis_sequence(gt_full, pred_masks)
-        res_j.append(r["J"])
-        res_f.append(r["F"])
+        if pvos:
+            # VIPOSeg protocol: object ids 1..N introduced at their
+            # first-appearance frames; category_id is 1-based in our
+            # dataset records, VIPOSeg class ids are 0-based
+            gt_ids = np.zeros(gt_full.shape[1:], np.int32)
+            pr_ids = np.zeros(pred_masks.shape[1:], np.int32)
+            for n in range(N):
+                gt_ids[gt_full[n] > 0] = n + 1
+                pr_ids[pred_masks[n] > 0] = n + 1
+            ann_frames: Dict[int, np.ndarray] = {}
+            for n in range(N):
+                if faf[n] < 0:
+                    continue
+                rf = int(faf[n])
+                m = (gt_full[n, rf] > 0).astype(np.int32) * (n + 1)
+                ann_frames[rf] = np.where(
+                    m > 0, m, ann_frames.get(rf, np.zeros_like(m)))
+            # bucket by the dataset's ORIGINAL class ids (1-based json ->
+            # 0-based VIPOSeg tables); the loader's contiguous remap is
+            # for the classifier head only
+            obj_classes = {
+                n + 1: int(anns[n].get("raw_category_id",
+                                       anns[n].get("category_id", 1))) - 1
+                for n in range(N)}
+            unseen_machine = (
+                rec.get("video_name", "") in pvos_eval.OTHER_MACHINE_UNSEEN_VIDEOS)
+            samples, _ = pvos_eval.pvos_video_samples(
+                gt_ids, pr_ids, obj_classes, ann_frames,
+                video_unseen_machine=unseen_machine)
+            for k, v in samples.items():
+                pvos_buckets.setdefault(k, []).extend(v)
+        else:
+            r = evaluate_davis_sequence(gt_full, pred_masks)
+            res_j.append(r["J"])
+            res_f.append(r["F"])
         total_frames += V
     dt = time.time() - t0
+    if pvos:
+        out = pvos_eval.pvos_aggregate(pvos_buckets)
+        out["fps"] = total_frames / max(dt, 1e-6)
+        return out
     j, f = float(np.mean(res_j)), float(np.mean(res_f))
     return {"J": j, "F": f, "J&F": (j + f) / 2, "fps": total_frames / max(dt, 1e-6)}

@@ -6,13 +6,23 @@ frame tube PQ: segments are matched by IoU > 0.5 over the
 concatenated-tube pixels; PQ = sum(TP IoU) / (TP + FP/2 + FN/2),
 averaged over categories then over spans).
 
-Inputs are per-frame (segment_id, category) panoptic maps.
+Void/crowd laws (eval_vpq_vps.py:184-232):
+
+- crowd GT segments never match and are not FNs; instead they are
+  recorded per category (last one wins, :209-215);
+- the match union is reduced by the prediction's intersection with
+  VOID (id 0) — "remove background area" (:196);
+- an unmatched prediction is DROPPED (not an FP) when more than half
+  of its tube area intersects VOID plus the same-category crowd
+  segment (:220-232).
+
+Inputs are per-frame (segment_id, category) panoptic maps; pixels with
+segment id 0 are VOID.
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 
@@ -21,7 +31,8 @@ VOID = 0
 
 def _tube_stats(gt_seg: np.ndarray, gt_cat: Dict[int, int],
                 pr_seg: np.ndarray, pr_cat: Dict[int, int],
-                num_classes: int):
+                num_classes: int,
+                gt_crowd: Dict[int, bool]):
     """One tube (stacked frames). Returns per-class (iou_sum, tp, fp, fn)."""
     iou_sum = np.zeros(num_classes)
     tp = np.zeros(num_classes, np.int64)
@@ -46,9 +57,13 @@ def _tube_stats(gt_seg: np.ndarray, gt_cat: Dict[int, int],
             continue
         if gi not in gt_cat or pi not in pr_cat:
             continue
+        if gt_crowd.get(gi, False):
+            # crowd GT segments are ignored in matching (ref :184-185)
+            continue
         if gt_cat[gi] != pr_cat[pi]:
             continue
-        union = gt_area[gi] + pr_area[pi] - a
+        # union with the pred's VOID overlap removed (ref :196)
+        union = gt_area[gi] + pr_area[pi] - a - inter.get((VOID, pi), 0)
         iou = a / union if union > 0 else 0.0
         if iou > 0.5:
             c = gt_cat[gi]
@@ -57,13 +72,28 @@ def _tube_stats(gt_seg: np.ndarray, gt_cat: Dict[int, int],
             matched_gt.add(gi)
             matched_pr.add(pi)
 
-    for gi in gt_cat:
-        if gi != VOID and gi in gt_area and gi not in matched_gt:
-            fn[gt_cat[gi]] += 1
-    for pi in pr_cat:
-        if pi != VOID and pi in pr_area and pi not in matched_pr:
-            # ignore predictions mostly covering void (simplified)
-            fp[pr_cat[pi]] += 1
+    # unmatched GT: crowd segments become per-category ignore regions
+    # instead of FNs (ref :209-215; last crowd label per category wins)
+    crowd_by_cat: Dict[int, int] = {}
+    for gi, c in gt_cat.items():
+        if gi == VOID or gi not in gt_area or gi in matched_gt:
+            continue
+        if gt_crowd.get(gi, False):
+            crowd_by_cat[c] = gi
+            continue
+        fn[c] += 1
+
+    # unmatched predictions: dropped when >50% of their area lies in
+    # VOID + the same-category crowd segment (ref :220-232)
+    for pi, c in pr_cat.items():
+        if pi == VOID or pi not in pr_area or pi in matched_pr:
+            continue
+        ignore = inter.get((VOID, pi), 0)
+        if c in crowd_by_cat:
+            ignore += inter.get((crowd_by_cat[c], pi), 0)
+        if ignore / pr_area[pi] > 0.5:
+            continue
+        fp[c] += 1
     return iou_sum, tp, fp, fn
 
 
@@ -74,9 +104,11 @@ def vpq_single_video(
     pr_cats: Dict[int, int],
     num_classes: int,
     spans: Sequence[int] = (1, 2, 4, 6),
+    gt_crowd: Dict[int, bool] | None = None,
 ) -> Dict[str, float]:
     """VPQ over tube spans; returns {'vpq': mean, 'vpq_k': per span}."""
     T = len(gt_segs)
+    gt_crowd = gt_crowd or {}
     results = {}
     vals = []
     for k in spans:
@@ -87,7 +119,8 @@ def vpq_single_video(
         for s in range(T - k + 1):
             g = np.stack(gt_segs[s : s + k]).reshape(-1)
             p = np.stack(pr_segs[s : s + k]).reshape(-1)
-            i, t_, f_, n_ = _tube_stats(g, gt_cats, p, pr_cats, num_classes)
+            i, t_, f_, n_ = _tube_stats(g, gt_cats, p, pr_cats, num_classes,
+                                        gt_crowd)
             iou_sum += i
             tp += t_
             fp += f_

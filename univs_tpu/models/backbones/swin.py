@@ -87,42 +87,61 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: [B, H, W, C] (H, W already padded to window multiples)."""
+        """x: [B, H, W, C] — UNPADDED.
+
+        Window padding happens INSIDE the block, after norm1, with
+        zeros, and the attention output is cropped back before the
+        residual (reference swin.py:235-276): the zero-padded keys DO
+        participate in every window's softmax, so padding outside the
+        block (where pad rows would evolve through residuals) changes
+        real-token activations — caught by the round-4 parity test."""
         B, H, W, C = x.shape
         w = self.window
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+        ph = (w - H % w) % w
+        pw = (w - W % w) % w
+        y = jnp.pad(y, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        Hp, Wp = H + ph, W + pw
         if self.shift > 0:
             y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
         # window partition
-        yw = y.reshape(B, H // w, w, W // w, w, C).transpose(0, 1, 3, 2, 4, 5)
+        yw = y.reshape(B, Hp // w, w, Wp // w, w, C).transpose(0, 1, 3, 2, 4, 5)
         yw = yw.reshape(-1, w * w, C)
         bias = None
         if self.shift > 0:
-            bias = jnp.asarray(_shift_mask(H, W, w, self.shift))  # [nW, 1, w2, w2]
+            bias = jnp.asarray(_shift_mask(Hp, Wp, w, self.shift))  # [nW, 1, w2, w2]
         yw = WindowAttention(self.dim, self.num_heads, w, self.dtype, name="attn")(yw, bias)
-        y = yw.reshape(B, H // w, W // w, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+        y = yw.reshape(B, Hp // w, Wp // w, w, w, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
         if self.shift > 0:
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
-        x = shortcut + y
+        x = shortcut + y[:, :H, :W]
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(x.dtype)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(nn.gelu(y))
+        # exact (erf) GELU: torch nn.GELU default; flax defaults to tanh
+        y = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(nn.gelu(y, approximate=False))
         return x + y
 
 
 def _shift_mask(H: int, W: int, w: int, shift: int) -> np.ndarray:
-    """Additive attention mask for shifted windows [nW, 1, w2, w2]."""
+    """Additive attention mask for shifted windows [nW, 1, w2, w2].
+
+    Region labels are assigned directly in the POST-ROLL coordinate
+    space (reference swin.py:239-258 builds img_mask on the padded map
+    without rolling): the (0,-w)/(-w,-shift)/(-shift,None) boundaries
+    already describe where rolled-in content lands, so only the last
+    window row/column mixes regions.  (Labelling the origin space and
+    rolling the labels over-masks contiguous rows — a real accuracy
+    bug caught by the round-4 activation-parity test.)"""
     img = np.zeros((H, W), np.int32)
     cnt = 0
     for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
         for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
             img[hs, ws] = cnt
             cnt += 1
-    img = np.roll(img, (-shift, -shift), axis=(0, 1))
     win = img.reshape(H // w, w, W // w, w).transpose(0, 2, 1, 3).reshape(-1, w * w)
     diff = win[:, None, :] != win[:, :, None]
-    return np.where(diff, -1e9, 0.0).astype(np.float32)[:, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)[:, None]
 
 
 class SwinTransformer(nn.Module):
@@ -148,17 +167,13 @@ class SwinTransformer(nn.Module):
         for stage, depth in enumerate(self.depths):
             B_, H, W, C = x.shape
             w = self.window
-            ph = (w - H % w) % w
-            pw = (w - W % w) % w
-            xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
             block_cls = nn.remat(SwinBlock) if self.use_checkpoint else SwinBlock
             for blk in range(depth):
-                xp = block_cls(
+                x = block_cls(
                     dim=dim, num_heads=self.num_heads[stage], window=w,
                     shift=0 if blk % 2 == 0 else w // 2, dtype=self.dtype,
                     name=f"stage{stage}_block{blk}",
-                )(xp)
-            x = xp[:, :H, :W]
+                )(x)
             name = f"res{stage + 2}"
             if name in self.out_features:
                 outs[name] = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"out_norm{stage}")(x).astype(self.dtype)
