@@ -88,7 +88,12 @@ def test_entity_driver_emission_keeps_overlap():
     records = []
     _spy_emit(driver, records)
 
-    results = driver.run_vis(np.zeros((V, H, W, 3), np.float32), jnp.zeros((4, 16)))
+    # eviction-bookkeeping law on the raw fp16 path (run_vis now uses
+    # the packed device-side emission; _stream without packed_sizes
+    # exercises the same eviction through emit_fn)
+    emitted_w, starts, _, _, _, rows = driver._stream(
+        np.zeros((V, H, W, 3), np.float32), jnp.zeros((4, 16)), divide=True)
+    assert rows is None
     assert len(records) >= 3, "video must span multiple emissions"
 
     emitted = np.concatenate(records, axis=1)  # [E, V, h, w]
@@ -100,8 +105,16 @@ def test_entity_driver_emission_keeps_overlap():
     )
     # whole-plane check: uniform value per frame
     assert np.allclose(emitted[0], expect[None, :, None, None].repeat(1, 0), rtol=1e-3)
+
+    # full run_vis (packed emission): positive logits everywhere ->
+    # every frame's RLE decodes to an all-ones mask
+    from univs_tpu.utils import rle as rle_mod
+
+    results = driver.run_vis(np.zeros((V, H, W, 3), np.float32), jnp.zeros((4, 16)))
     assert results and results[0]["obj_id"] == 0
     assert len(results[0]["segmentations"]) == V
+    for s in results[0]["segmentations"][:3]:
+        assert rle_mod.decode(s).all()
 
 
 def test_vos_driver_emission_keeps_overlap():

@@ -79,7 +79,7 @@ def test_run_vps_matches_reference_stitching():
     scores = rng.rand(E, K).astype(np.float32)
     valid = np.array([True, True, True])
     driver._stream = lambda frames, cls_emb, divide, thing_mask=None: (
-        [win], [0], [scores], [valid], None
+        [win], [0], [scores], [valid], None, None
     )
     thing_ids = {1, 3}  # classes 1 and 3 are things (1-based)
 

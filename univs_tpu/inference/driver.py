@@ -102,7 +102,73 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
         return (divided.astype(jnp.float16), raw.astype(jnp.float16),
                 scores, valid_snapshot, mp.evict_window(pool, out_frames))
 
-    return encode_window_fn, clip_fn, clip_pixel_fn, shift_fn, emit_fn
+    @functools.partial(jax.jit, static_argnames=("out_frames", "sizes"))
+    def emit_packed_fn(pool, out_frames: int, sizes):
+        """VIS emission with the reference's host-side upsample law
+        (save_results_vis:932-939) moved ON DEVICE: occurrence-divided
+        logits -> bilinear upsample to the padded size -> crop ->
+        resize to the output size -> threshold > 0 -> bitpack.  The
+        driver then transfers 1-bit masks instead of fp16 quarter-res
+        logits and skips the (measured ~0.5 s per entity-window) host
+        torch upsample entirely."""
+        image_size, out_size, padded_size = sizes
+        raw = pool.mask_logits[:, :out_frames]
+        occ = jnp.maximum(pool.occurrence[:, :out_frames], 1.0)
+        divided = raw / occ[:, :, None, None]
+        packed = _upsample_threshold_pack(divided, image_size, out_size,
+                                          padded_size)
+        scores = pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None]
+        valid_snapshot = jnp.logical_or(pool.valid, False)
+        return packed, scores, valid_snapshot, mp.evict_window(pool, out_frames)
+
+    return encode_window_fn, clip_fn, clip_pixel_fn, shift_fn, emit_fn, emit_packed_fn
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """[..., W] bool -> [..., ceil(W/8)] uint8, big-endian bit order
+    (np.unpackbits-compatible)."""
+    W = bits.shape[-1]
+    pad = (-W) % 8
+    if pad:
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    b = bits.reshape(bits.shape[:-1] + ((W + pad) // 8, 8))
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (b.astype(jnp.uint8) * weights).sum(-1).astype(jnp.uint8)
+
+
+def _upsample_threshold_pack(logits: jnp.ndarray, image_size, out_size,
+                             padded_size) -> jnp.ndarray:
+    """Traced twin of ``_upsample_and_threshold`` + bitpack:
+    [E, n, H4, W4] logits -> [E, n, out_h, ceil(out_w/8)] packed uint8.
+
+    ``jax.image.resize(method="linear")`` matches torch
+    ``F.interpolate(mode="bilinear", align_corners=False)`` to float
+    rounding (<=5e-7 — pinned by
+    tests/test_entity_inference.py::test_packed_emission_matches_host).
+    Entities are processed in chunks so the full-resolution f32
+    intermediate stays bounded (~256 MB) regardless of capacity."""
+    E, n = logits.shape[:2]
+    x = logits.astype(jnp.float32)
+
+    def up(chunk):
+        c = chunk.shape[0]
+        y = jax.image.resize(chunk, (c, n) + tuple(padded_size),
+                             method="linear", antialias=False)
+        y = y[:, :, : image_size[0], : image_size[1]]
+        if tuple(image_size) != tuple(out_size):
+            y = jax.image.resize(y, (c, n) + tuple(out_size),
+                                 method="linear", antialias=False)
+        return _pack_bits(y > 0)
+
+    budget = 64 * 2 ** 20  # f32 elements per chunk (~256 MB)
+    per_e = max(1, n * padded_size[0] * padded_size[1])
+    c_max = max(1, budget // per_e)
+    c = max((d for d in range(1, E + 1) if E % d == 0 and d <= c_max),
+            default=1)
+    if c == E:
+        return up(x)
+    packed = jax.lax.map(up, x.reshape(E // c, c, *x.shape[1:]))
+    return packed.reshape(E, *packed.shape[2:])
 
 
 def _build_vos_fns(cfg, backbone, modules, cc, stride, dtype, query_mode):
@@ -213,16 +279,27 @@ class EntityDriver:
             )
             _DRIVER_JIT_MEMO[memo_key] = fns
         (self._encode_window_fn, self._clip_fn, self._clip_pixel_fn,
-         self._shift_fn, self._emit_fn) = fns
+         self._shift_fn, self._emit_fn, self._emit_packed_fn) = fns
 
     # ------------------------------------------------------------------
 
     def _stream(self, frames: np.ndarray, cls_emb: jnp.ndarray, divide: bool,
-                thing_mask: Optional[np.ndarray] = None):
+                thing_mask: Optional[np.ndarray] = None,
+                packed_sizes=None):
         """Run the clip loop over one video; returns
         (emitted mask windows, window starts, score snapshots,
         valid snapshots, final pool).  ``thing_mask`` selects the VPS
-        pixel newly-entity variant."""
+        pixel newly-entity variant.
+
+        ``packed_sizes``: optional (image_size, out_size, padded_size)
+        triple.  When set, windows are emitted as bit-packed binary
+        masks at the OUTPUT resolution (the upsample+threshold law runs
+        on device — see ``emit_packed_fn``), and only the rows of
+        finally-valid entities are drained to the host; the emitted
+        arrays are then [n_valid_padded, n, out_h, ceil(out_w/8)] uint8
+        and the extra return value ``entity_rows`` maps rows to entity
+        slots.  Otherwise behavior is unchanged and entity_rows is
+        None."""
         V, H, W = frames.shape[:3]
         mask_hw = (H // 4, W // 4)
 
@@ -311,13 +388,20 @@ class EntityDriver:
                 # overlap frames stay in the pool and keep accumulating
                 # (reference drops only num_frames_window_output frames:
                 # inference_video_entity.py mask_logits[:, n_out:])
-                masks_div, masks_raw, win_scores, win_valid, pool = self._emit_fn(pool, n_out)
+                if packed_sizes is not None:
+                    win_masks, win_scores, win_valid, pool = \
+                        self._emit_packed_fn(pool, n_out, packed_sizes)
+                else:
+                    masks_div, masks_raw, win_scores, win_valid, pool = \
+                        self._emit_fn(pool, n_out)
+                    win_masks = masks_div if divide else masks_raw
                 # keep emitted windows ON DEVICE: fetching here would
                 # drain the FIFO queue and idle the chip while the host
                 # writes RLEs — the round-2 "double-buffering" item.
-                # Windows are fp16 (~115 MB each at 640x960/E=60), so a
+                # Packed windows are ~17 MB/frame-window at 640x960;
+                # fp16 quarter-res logit windows ~115 MB at E=60 — a
                 # whole video's worth fits in HBM comfortably.
-                emitted.append(masks_div if divide else masks_raw)
+                emitted.append(win_masks)
                 emit_scores.append(win_scores)
                 emit_valids.append(win_valid)
                 emit_starts.append(emitted_total)
@@ -329,10 +413,32 @@ class EntityDriver:
                 pool = self._shift_fn(pool)
             i += self.stride
         # single end-of-video drain (device->host)
+        entity_rows = None
+        if packed_sizes is not None and emitted:
+            # only finally-valid entity rows cross the (slow) D2H link;
+            # pad the gather index to a multiple of 8 so the tiny slice
+            # programs are shared across videos with similar counts
+            valid_final = np.asarray(pool.valid)
+            entity_rows = np.flatnonzero(valid_final)
+            if entity_rows.size:
+                pad = min((-entity_rows.size) % 8,
+                          valid_final.shape[0] - entity_rows.size)
+                idx = np.concatenate(
+                    [entity_rows, np.repeat(entity_rows[-1:], pad)]
+                ).astype(np.int32)
+                idx_j = jnp.asarray(idx)
+                emitted = [m[idx_j] for m in emitted]
+            else:
+                emitted = [m[:0] for m in emitted]
+        for m in emitted:
+            try:  # overlap the window transfers where the runtime allows
+                m.copy_to_host_async()
+            except Exception:
+                break
         emitted = [np.asarray(m) for m in emitted]
         emit_scores = [np.asarray(s) for s in emit_scores]
         emit_valids = [np.asarray(v) for v in emit_valids]
-        return emitted, emit_starts, emit_scores, emit_valids, pool
+        return emitted, emit_starts, emit_scores, emit_valids, pool, entity_rows
 
     def run_vis(self, frames: np.ndarray, cls_emb: jnp.ndarray,
                 image_size=None, out_size=None) -> List[Dict]:
@@ -344,12 +450,14 @@ class EntityDriver:
         image_size = image_size or (H, W)
         out_size = out_size or image_size
 
-        emitted, emit_starts, emit_scores, _, pool = self._stream(
-            frames, cls_emb, divide=True
+        emitted, emit_starts, emit_scores, _, pool, entity_rows = self._stream(
+            frames, cls_emb, divide=True,
+            packed_sizes=(tuple(image_size), tuple(out_size), (H, W)),
         )
         return assemble_vis_results(
             emitted, emit_starts, emit_scores, np.asarray(pool.valid),
             np.asarray(pool.quality_sum), V, image_size, out_size, (H, W),
+            packed_width=out_size[1], entity_rows=entity_rows,
         )
 
 
@@ -440,7 +548,7 @@ class EntityDriver:
             if 1 <= t <= K:
                 thing_mask[t - 1] = True
 
-        emitted, emit_starts, emit_scores, emit_valids, pool = self._stream(
+        emitted, emit_starts, emit_scores, emit_valids, pool, _ = self._stream(
             frames, cls_emb, divide=False, thing_mask=thing_mask
         )
 
@@ -813,11 +921,21 @@ def _upsample_and_threshold(mask_logits: np.ndarray, image_size, out_size, padde
 
 
 def assemble_vis_results(emitted, emit_starts, emit_scores, valid, quality_sum,
-                         V, image_size, out_size, padded_size) -> List[Dict]:
+                         V, image_size, out_size, padded_size,
+                         packed_width: Optional[int] = None,
+                         entity_rows=None) -> List[Dict]:
     """Per-entity result dicts from emitted mask windows (the host half
     of ``save_results_vis``, inference_video_entity.py:914-961).  Shared
-    by the single-video driver and the batched server."""
+    by the single-video driver and the batched server.
+
+    Two window layouts: fp16 quarter-res logit windows [E, n, H4, W4]
+    (upsampled + thresholded here, on host), or — when ``packed_width``
+    is set — bit-packed binary masks [R, n, out_h, ceil(out_w/8)]
+    already at output resolution (the upsample law ran on device);
+    ``entity_rows`` then maps window rows R to entity slots."""
     capacity = valid.shape[0]
+    row_of = {int(e): r for r, e in enumerate(entity_rows)} \
+        if entity_rows is not None else None
     # reference: res['mask_quality_score'] = q_i / (int(q.max()) + 1)
     # at the last window (inference_video_entity.py:958)
     quality = quality_sum / (int(quality_sum.max()) + 1)
@@ -827,8 +945,13 @@ def assemble_vis_results(emitted, emit_starts, emit_scores, valid, quality_sum,
             continue
         segs = [None] * V
         for win_masks, start in zip(emitted, emit_starts):
-            m = win_masks[e]  # [n, H4, W4] fp16 logits
-            up = _upsample_and_threshold(m, image_size, out_size, padded_size)
+            if packed_width is not None:
+                m = win_masks[e if row_of is None else row_of[e]]
+                up = np.unpackbits(m, axis=-1)[..., :packed_width]
+            else:
+                m = win_masks[e]  # [n, H4, W4] fp16 logits
+                up = _upsample_and_threshold(m, image_size, out_size,
+                                             padded_size)
             for k in range(up.shape[0]):
                 if start + k < V:
                     segs[start + k] = rle.encode(up[k])

@@ -79,7 +79,28 @@ def _build_batched_fns(cfg, backbone, modules, cc, stride, dtype):
 
         return jax.vmap(one)(pool)
 
-    return encode_fn, clip_fn, shift_fn, emit_fn
+    @functools.partial(jax.jit, static_argnames=("out_frames", "sizes"))
+    def emit_packed_fn(pool, out_frames: int, sizes):
+        # device-side upsample+threshold+bitpack (see the driver's
+        # emit_packed_fn); the batch axis rides the entity chunking
+        from univs_tpu.inference.driver import _upsample_threshold_pack
+
+        image_size, out_size, padded_size = sizes
+
+        def one(p):
+            raw = p.mask_logits[:, :out_frames]
+            occ = jnp.maximum(p.occurrence[:, :out_frames], 1.0)
+            divided = raw / occ[:, :, None, None]
+            packed = _upsample_threshold_pack(divided, image_size, out_size,
+                                              padded_size)
+            scores = p.logits_sum / jnp.maximum(p.logits_count, 1)[:, None]
+            valid_snapshot = jnp.logical_or(p.valid, False)
+            return (packed, scores, valid_snapshot,
+                    mp.evict_window(p, out_frames))
+
+        return jax.vmap(one)(pool)
+
+    return encode_fn, clip_fn, shift_fn, emit_fn, emit_packed_fn
 
 
 class BatchedVISServer:
@@ -129,15 +150,18 @@ class BatchedVISServer:
                 cfg, self._backbone, self._modules, self.cc, self.stride, dtype
             )
             _DRIVER_JIT_MEMO[memo_key] = fns
-        self._encode_fn, self._clip_fn, self._shift_fn, self._emit_fn = fns
+        (self._encode_fn, self._clip_fn, self._shift_fn, self._emit_fn,
+         self._emit_packed_fn) = fns
 
     # ------------------------------------------------------------------
 
     def _stream_batch(self, frames_b: np.ndarray, lengths: Sequence[int],
-                      cls_emb: jnp.ndarray):
+                      cls_emb: jnp.ndarray, packed_sizes=None):
         """frames_b [B, V, H, W, 3] (tail frames repeated per video);
         lengths: true per-video frame counts.  Returns per-video
-        (emitted windows, starts, score snapshots, final pool leaves)."""
+        (emitted windows, starts, score snapshots, final pool leaves).
+        ``packed_sizes`` as in ``EntityDriver._stream``: emit bit-packed
+        output-resolution masks on device instead of fp16 logits."""
         B, V, H, W = frames_b.shape[:4]
         assert B == self.batch_size
         mask_hw = (H // 4, W // 4)
@@ -197,7 +221,12 @@ class BatchedVISServer:
             ):
                 n_out = self.out_window if not is_last else min(
                     V - emitted_total, self.out_window + self.T)
-                masks_div, win_scores, win_valid, pool = self._emit_fn(pool, n_out)
+                if packed_sizes is not None:
+                    masks_div, win_scores, win_valid, pool = \
+                        self._emit_packed_fn(pool, n_out, packed_sizes)
+                else:
+                    masks_div, win_scores, win_valid, pool = \
+                        self._emit_fn(pool, n_out)
                 for b in range(B):
                     emitted[b].append(masks_div[b])
                     emit_scores[b].append(win_scores[b])
@@ -210,10 +239,31 @@ class BatchedVISServer:
                 pool = self._shift_fn(pool)
             i += self.stride
 
-        # end-of-batch drain
+        # end-of-batch drain; with packed emission, only finally-valid
+        # entity rows cross the D2H link (bucketed gather, see the
+        # single-video driver)
+        entity_rows = [None] * B
+        if packed_sizes is not None:
+            valid_b = np.asarray(pool.valid)
+            for b in range(B):
+                rows = np.flatnonzero(valid_b[b])
+                entity_rows[b] = rows
+                if rows.size:
+                    pad = min((-rows.size) % 8, valid_b.shape[1] - rows.size)
+                    idx = jnp.asarray(np.concatenate(
+                        [rows, np.repeat(rows[-1:], pad)]).astype(np.int32))
+                    emitted[b] = [m[idx] for m in emitted[b]]
+                else:
+                    emitted[b] = [m[:0] for m in emitted[b]]
+        for e in emitted:
+            for m in e:
+                try:
+                    m.copy_to_host_async()
+                except Exception:
+                    break
         emitted = [[np.asarray(m) for m in e] for e in emitted]
         emit_scores = [[np.asarray(s) for s in e] for e in emit_scores]
-        return emitted, emit_starts, emit_scores, pool
+        return emitted, emit_starts, emit_scores, pool, entity_rows
 
     def run_vis(self, videos: Sequence[np.ndarray], cls_emb: jnp.ndarray,
                 image_sizes: Optional[Sequence] = None,
@@ -229,9 +279,16 @@ class BatchedVISServer:
         frames_b = np.stack([
             v[np.minimum(np.arange(V), v.shape[0] - 1)] for v in videos
         ])
-        emitted, emit_starts, emit_scores, pool = self._stream_batch(
-            frames_b, lengths, cls_emb
-        )
+        # the jit'd batched emit needs ONE static size triple: use the
+        # packed device-side emission when every video shares the padded
+        # resolution as image/out size (the lockstep-batch contract);
+        # fall back to host upsampling for per-video crop/resize targets
+        packed_sizes = None
+        if not image_sizes and not out_sizes:
+            packed_sizes = ((H, W), (H, W), (H, W))
+        emitted, emit_starts, emit_scores, pool, entity_rows = \
+            self._stream_batch(frames_b, lengths, cls_emb,
+                               packed_sizes=packed_sizes)
         out = []
         for b in range(B):
             image_size = (image_sizes[b] if image_sizes else (H, W))
@@ -240,5 +297,7 @@ class BatchedVISServer:
                 emitted[b], emit_starts, emit_scores[b],
                 np.asarray(pool.valid[b]), np.asarray(pool.quality_sum[b]),
                 lengths[b], image_size, out_size, (H, W),
+                packed_width=(W if packed_sizes is not None else None),
+                entity_rows=entity_rows[b],
             ))
         return out
