@@ -469,6 +469,112 @@ def load_reference_pixel_decoder_module():
     return importlib.import_module("mask2former.modeling.pixel_decoder.msdeformattn")
 
 
+def load_reference_davis_metrics():
+    """The vendored davis2017-evaluation metrics kernel
+    (univs/evaluation/davis2017_evaluation/davis2017/metrics.py) —
+    pure numpy+cv2.  Its ``f_measure`` lazily imports
+    ``skimage.morphology.disk``; skimage isn't in this image, so shim
+    the one function with its canonical definition (a circular
+    structuring element, x^2 + y^2 <= r^2)."""
+    import importlib.util
+
+    import numpy as np
+
+    if "skimage.morphology" not in sys.modules:
+        sk = _mod("skimage")
+        morph = _mod("skimage.morphology")
+
+        def disk(radius, dtype=np.uint8):
+            L = np.arange(-int(radius), int(radius) + 1)
+            X, Y = np.meshgrid(L, L)
+            return ((X ** 2 + Y ** 2) <= radius ** 2).astype(dtype)
+
+        morph.disk = disk
+        sk.morphology = morph
+
+    name = "ref_davis2017_metrics"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(
+        name, f"{REF}/univs/evaluation/davis2017_evaluation/davis2017/metrics.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def install_pycocotools_shim():
+    """pycocotools.mask backed by univs_tpu.utils.rle (COCO-spec RLE).
+
+    Covers exactly what the vendored ytvis_api touches: area, merge
+    (intersection/union — returned as an opaque carrier whose area()
+    is the set size), toBbox, decode.  Polygon inputs (frPyObjects)
+    are out of scope — golden tests feed RLE dicts."""
+    import numpy as np
+
+    from univs_tpu.utils import rle as _rle
+
+    if getattr(sys.modules.get("pycocotools"), "_univs_tpu_shim", False):
+        return sys.modules["pycocotools.mask"]
+
+    pc = _mod("pycocotools")
+    pc._univs_tpu_shim = True
+    mk = _mod("pycocotools.mask")
+
+    class _Merged(dict):
+        """Carrier for merge() results; area() reads ._area."""
+
+    def area(r):
+        if isinstance(r, _Merged):
+            return r["_area"]
+        return _rle.area(r)
+
+    def merge(rles, intersect=False):
+        a, b = rles
+        inter = _rle.intersection(a, b)
+        if intersect:
+            return _Merged(_area=inter)
+        return _Merged(_area=_rle.area(a) + _rle.area(b) - inter)
+
+    def decode(r):
+        return _rle.decode(r)
+
+    def toBbox(r):
+        m = _rle.decode(r)
+        ys, xs = np.nonzero(m)
+        if ys.size == 0:
+            return np.zeros(4, np.float64)
+        x0, y0 = xs.min(), ys.min()
+        return np.array(
+            [x0, y0, xs.max() - x0 + 1, ys.max() - y0 + 1], np.float64)
+
+    def frPyObjects(objs, h, w):
+        raise NotImplementedError("shim covers RLE inputs only")
+
+    mk.area = area
+    mk.merge = merge
+    mk.decode = decode
+    mk.toBbox = toBbox
+    mk.frPyObjects = frPyObjects
+    pc.mask = mk
+    return mk
+
+
+def load_reference_ytvos_api():
+    """The vendored ytvis_api (YTVOS + YTVOSeval,
+    univs/data/datasets/ytvis_api/) — pure numpy on top of
+    pycocotools.mask, which is shimmed onto univs_tpu.utils.rle."""
+    install()
+    install_pycocotools_shim()
+    import importlib
+
+    _pkg("ytvis_api", f"{REF}/univs/data/datasets/ytvis_api")
+    ytvos = importlib.import_module("ytvis_api.ytvos")
+    ytvoseval = importlib.import_module("ytvis_api.ytvoseval")
+    return ytvos, ytvoseval
+
+
 def load_reference_swin_module():
     """The reference Swin backbone (mask2former/modeling/backbone/swin.py;
     D2SwinTransformer :687 wraps SwinTransformer :498 with cfg plumbing —

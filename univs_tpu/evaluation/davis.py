@@ -34,7 +34,11 @@ def db_eval_iou(annotation: np.ndarray, segmentation: np.ndarray, void_pixels=No
 
 
 def _seg2bmap(seg: np.ndarray) -> np.ndarray:
-    """Binary mask -> boundary map (pixel-accurate inner boundary)."""
+    """Binary mask -> boundary map, the David Martin bmap law used by
+    davis2017-evaluation (metrics.py:122-178): symmetric XOR against
+    the east/south/southeast shifts (marks BOTH sides of each edge),
+    XOR-only on the last row/column, and a forced-zero corner.  Pinned
+    to the vendored package by tests/test_golden_metrics.py."""
     seg = seg.astype(bool)
     e = np.zeros_like(seg)
     s = np.zeros_like(seg)
@@ -42,10 +46,10 @@ def _seg2bmap(seg: np.ndarray) -> np.ndarray:
     e[:, :-1] = seg[:, 1:]
     s[:-1, :] = seg[1:, :]
     se[:-1, :-1] = seg[1:, 1:]
-    b = seg & ~(e & s & se)
-    b[-1, :] = seg[-1, :] & ~e[-1, :]
-    b[:, -1] = seg[:, -1] & ~s[:, -1]
-    b[-1, -1] = seg[-1, -1]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
     return b
 
 
