@@ -125,3 +125,117 @@ def test_vss_quality_is_exact():
     (pos, tot), _ = jax.lax.scan(count_frame, (zeros, zeros), masks_t)
     q = np.asarray(pos / jnp.maximum(tot, 1).astype(jnp.float32))
     np.testing.assert_allclose(q, q_ref, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# score-snapshot law: per-window vs end-of-video result arrival
+# ---------------------------------------------------------------------------
+
+
+def _ref_vis_json(video_len, results_list, apply_cls_thresh=0.05,
+                  topk_per_video=25):
+    """Numpy transcription of vis_clip_instances_to_coco_json_video
+    (reference inference/comm.py:97-195) over in-memory results_list:
+    per-window score stacking, quality AVERAGING over the windows that
+    carry it, nonblank-length fallback, tc weighting, topk cut."""
+    obj_ids = sorted({r["obj_id"] for rs in results_list for r in rs})
+    records, rec_scores, num_above = [], [], 0
+    for obj_id in obj_ids:
+        scores, quality = [], []
+        segs = [None] * video_len
+        for results in results_list:
+            for res in results:
+                if res["obj_id"] != obj_id:
+                    continue
+                if "mask_quality_score" in res:
+                    quality.append(res["mask_quality_score"])
+                scores.append(res["score"])
+                s0 = res["frame_id_start"]
+                segs[s0:s0 + len(res["segmentations"])] = res["segmentations"]
+        scores = np.stack(scores)  # [W, K]
+        if quality:
+            q = sum(quality) / len(quality)
+        else:
+            q = max(float((scores.sum(-1) > 0).sum()) / video_len, 0.1)
+        from univs_tpu.inference.driver import temporal_consistency_weighting
+        scores = temporal_consistency_weighting(scores.copy())
+        scores = scores.sum(0) / max(int((scores.sum(-1) > 0).sum()), 1)
+        for c in range(scores.shape[0]):
+            if float(scores[c]) < 0.1 * apply_cls_thresh:
+                continue
+            s = float(scores[c]) * float(q)
+            records.append({"category_id": c, "score": s, "obj_id": obj_id})
+            rec_scores.append(s)
+            if scores[c] > apply_cls_thresh:
+                num_above += 1
+    if rec_scores:
+        rec_scores.sort()
+        num_topk = max(int(num_above * 1.5), topk_per_video)
+        topk_score = rec_scores[::-1][min(num_topk, len(rec_scores) - 1)]
+        records = [r for r in records if r["score"] >= topk_score]
+    return records
+
+
+def test_score_snapshot_law_per_window_and_end_of_video():
+    """Weak#7 (round 3): the serving path hands vis_results_to_ytvis_json
+    per-window score snapshots; the reference averages per-window
+    quality but only ever ATTACHES quality at the last window
+    (inference_video_entity.py:957-958), so average == final snapshot.
+    Pin both call patterns against the reference transcription."""
+    from univs_tpu.inference.driver import vis_results_to_ytvis_json
+    from univs_tpu.utils import rle as rle_mod
+
+    rng = np.random.RandomState(5)
+    V, K, W = 6, 4, 2
+    m = np.zeros((8, 8), np.uint8)
+    m[2:6, 2:6] = 1
+    seg = rle_mod.encode(m)
+    blank = rle_mod.encode(np.zeros((8, 8), np.uint8))
+
+    score_windows = rng.rand(2, W, K).astype(np.float32)
+    score_windows[1, 0] = 0.0  # entity 1 blank in window 0
+    quality = [0.7, 0.4]
+
+    # reference arrival: one res per (entity, window); quality only on
+    # the LAST window's res (the entity-driver law)
+    results_list = []
+    for w_i in range(W):
+        rs = []
+        for e in range(2):
+            res = {"obj_id": e, "score": score_windows[e, w_i],
+                   "frame_id_start": w_i * 3,
+                   "segmentations": [seg] * 3}
+            if w_i == W - 1:
+                res["mask_quality_score"] = quality[e]
+            rs.append(res)
+        results_list.append(rs)
+    ref = _ref_vis_json(V, results_list)
+
+    # our arrival: one result dict per entity with stacked windows
+    ours_in = [
+        {"obj_id": e, "score_windows": score_windows[e],
+         "mask_quality_score": quality[e],
+         "segmentations": [seg] * V}
+        for e in range(2)
+    ]
+    got = vis_results_to_ytvis_json(1, V, 8, 8, ours_in)
+
+    ref_set = sorted((r["category_id"], round(r["score"], 9), r["obj_id"])
+                     for r in ref)
+    got_set = sorted((r["category_id"], round(r["score"], 9), i // 10 ** 9)
+                     for i, r in enumerate(got))
+    assert [x[:2] for x in ref_set] == [x[:2] for x in got_set]
+
+    # no-quality fallback: nonblank-window length / video_len, min 0.1
+    for r in results_list:
+        for res in r:
+            res.pop("mask_quality_score", None)
+    ref2 = _ref_vis_json(V, results_list)
+    ours_in2 = [
+        {"obj_id": e, "score_windows": score_windows[e],
+         "segmentations": [seg] * V}
+        for e in range(2)
+    ]
+    got2 = vis_results_to_ytvis_json(1, V, 8, 8, ours_in2)
+    assert sorted(round(r["score"], 9) for r in ref2) == \
+        sorted(round(r["score"], 9) for r in got2)

@@ -1019,8 +1019,14 @@ def vis_results_to_ytvis_json(
         if "mask_quality_score" in res:
             quality = float(res["mask_quality_score"])
         else:
-            nonblank = np.array([rle.area(s) > 0 for s in res["segmentations"]])
-            quality = max(float(nonblank.sum()) / max(video_len, 1), 0.1)
+            # reference fallback counts nonblank WINDOWS over video_len
+            # frames (comm.py:162-164 — a windows/frames quirk, kept)
+            if "score_windows" in res:
+                raw = np.asarray(res["score_windows"], np.float32)
+            else:
+                raw = np.asarray(res["score"], np.float32)[None]
+            nonblank = int((raw.sum(-1) > 0).sum())
+            quality = max(float(nonblank) / max(video_len, 1), 0.1)
         for c in range(scores.shape[0]):
             if scores[c] < 0.1 * apply_cls_thresh:
                 continue
