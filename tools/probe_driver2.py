@@ -57,9 +57,13 @@ def main():
     def sync(pool):
         return float(jnp.sum(pool.logits_count))
 
+    import functools
+    import univs_tpu.inference.memory_pool as _mp
+    evict_fn = jax.jit(functools.partial(_mp.evict_window),
+                       static_argnums=(1,))
+
     # variant loops built on driver internals
     def loop(emit_mode):
-        pool_shapes = None
         import univs_tpu.inference.memory_pool as mp
         mask_hw = (h // 4, w // 4)
         pool = mp.create_entity_memory(
@@ -98,8 +102,7 @@ def main():
                     a, b, s_, v_, pool = driver._emit_fn(pool, n_out)
                     emitted.append(a)
                 else:
-                    pool = __import__("univs_tpu.inference.memory_pool",
-                                      fromlist=["evict_window"]).evict_window(pool, n_out)
+                    pool = evict_fn(pool, n_out)
                 emitted_total += n_out
                 if is_last and emitted_total >= V:
                     break

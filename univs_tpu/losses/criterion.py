@@ -734,7 +734,14 @@ class UniCriterion:
         boxvis: bool = False,
         pseudo: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         prompt_type: str = "text",
+        reid_stash: Optional[list] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """``reid_stash``: optional caller-owned list; one
+        (matched_embds [B, N, T, C], tgt_ids [B, N, T]) tuple is
+        appended per decoder layer — the stage-3 inter-clip ReID stash
+        (reference video_criterion.py:473-477 stores the matched
+        learnable-query embeddings and their per-frame gt ids into
+        targets[0]['src_embds'/'tgt_ids'][l_layer])."""
         Ql = self.num_learnable
         T = self.num_frames
         num_masks = jnp.maximum(targets.valid.sum(), 1).astype(jnp.float32) * T
@@ -767,6 +774,12 @@ class UniCriterion:
                     boxvis=boxvis, pseudo=pseudo,
                 )
                 merged.update(ll)
+                if reid_stash is not None:
+                    emb = jax.vmap(lambda e, q: e[q])(
+                        layer["pred_embds"][:, :Ql], match)  # [B, N, T, C]
+                    ids = jnp.where(targets.valid[:, :, None],
+                                    targets.ids, -1)
+                    reid_stash.append((emb, ids))
             if has_prompt:
                 lp = _layer_losses_prompt(
                     r_p,

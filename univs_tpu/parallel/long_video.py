@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 
 from univs_tpu.config import UniVSConfig
-from univs_tpu.losses.criterion import TrainTargets, UniCriterion, contrastive_loss
+from univs_tpu.losses.criterion import (
+    TrainTargets,
+    UniCriterion,
+    contrastive_aux_loss,
+    contrastive_loss,
+)
 from univs_tpu.prompts.visual_prompt import (
     broadcast_prompt_sample,
     sample_train_clip_prompts,
@@ -60,10 +65,7 @@ def long_video_loss(
 
     total = jnp.float32(0.0)
     logged: Dict[str, jnp.ndarray] = {}
-    pool_kv = None  # [B, N, P_pool, C] accumulated no-grad prompt sets
-    pool_kv_pe = None
-    pool_valid = None
-    embds_per_clip = []  # for inter-clip reid: [B, N, T, C] matched prompt embds
+    stash_per_clip: List[list] = []  # per clip: per-layer (embds, ids)
 
     cls_emb = jnp.zeros((1, cfg.decoder.clip_cls_emb_dim))
 
@@ -96,16 +98,18 @@ def long_video_loss(
         )(grid_feats, grid_pos, masks_c, boxes_c, ids_c >= 0, targets.valid, rngs_b)
         kv, kv_pe, kv_valid = jax.vmap(lambda smp: broadcast_prompt_sample(smp, T))(samples)
 
-        # merge the no-grad memory pool from earlier clips along L
-        # (decoder_univs.py:750-756)
-        if pool_kv is not None:
-            pk = jnp.broadcast_to(pool_kv[:, :, :, None], pool_kv.shape[:3] + (T, pool_kv.shape[-1]))
-            pkp = jnp.broadcast_to(pool_kv_pe[:, :, :, None], pk.shape)
-            pkv = jnp.broadcast_to(pool_valid[:, :, :, None], pool_valid.shape[:3] + (T,))
-            kv = jnp.concatenate([jax.lax.stop_gradient(pk), kv], axis=2)
-            kv_pe = jnp.concatenate([jax.lax.stop_gradient(pkp), kv_pe], axis=2)
-            kv_valid = jnp.concatenate([pkv, kv_valid], axis=2)
-
+        # NOTE (reference law): stage-3 training does NOT feed pooled
+        # prompt features back into later clips.  prepare_prompt_memory_
+        # pool (univs_prompt_longvideo.py:543-589) is a write-only store
+        # during training: it early-returns once "prompt_feats" exists
+        # (:556-558, making its own concat branch :578-589 dead), and
+        # the only decoder read of targets["prompt_feats"] is gated on
+        # `not self.training` (decoder_univs.py:652-656).  Its live
+        # training effect is pinning prompt_obj_ids across clips
+        # (:554) — automatic here, since our fixed-slot sampler prompts
+        # every valid object in every clip.  Each clip's prompts come
+        # from its own GT, exactly as the reference's per-clip
+        # forward_prompt_encoder does.
         use_pe = jax.random.uniform(r_flip, ()) > 0.5
         vp = make_visual_prompts(kv, kv_pe, kv_valid, samples.valid, use_pe)
 
@@ -123,41 +127,78 @@ def long_video_loss(
                 jnp.broadcast_to(jnp.arange(N)[None], (B, N)), -1
             ).astype(jnp.int32),
         )
+        stash_c: list = []
         loss_c, logged_c = criterion(
-            r_crit, out, targets_c, jnp.ones((1,), bool), task="sot"
+            r_crit, out, targets_c, jnp.ones((1,), bool), task="sot",
+            reid_stash=stash_c,
         )
         total = total + loss_c
         for k, v in logged_c.items():
             logged[f"clip{ci}_{k}"] = v
+        stash_per_clip.append(stash_c)
 
-        # collect prompt-query embds for inter-clip reid (stop-grad pool,
-        # live grads for the loss — reference stashes per-layer embds)
-        Ql = cfg.decoder.num_queries
-        embds_per_clip.append(out["pred_embds"][:, Ql:])  # [B, N, T, C]
-
-        # update training-time memory pool (no grad) — keep the key-frame
-        # sample sets from this clip (prepare_prompt_memory_pool :543-589)
-        new_kv = jax.lax.stop_gradient(samples.kv)  # [B, N, R, C]
-        new_pe = jax.lax.stop_gradient(samples.kv_pe)
-        new_valid = samples.kv_valid
-        if pool_kv is None:
-            pool_kv, pool_kv_pe, pool_valid = new_kv, new_pe, new_valid
-        else:
-            pool_kv = jnp.concatenate([pool_kv, new_kv], axis=2)
-            pool_kv_pe = jnp.concatenate([pool_kv_pe, new_pe], axis=2)
-            pool_valid = jnp.concatenate([pool_valid, new_valid], axis=2)
+    # per-clip losses are AVERAGED over clips, not summed
+    # (univs_prompt_longvideo.py:431-434: losses[k] = sum/len)
+    total = total / jnp.float32(len(starts))
 
     # ---- inter-clip ReID loss (interclip_reid_loss :469-526) -----------
-    C = embds_per_clip[0].shape[-1]
-    emb = jnp.concatenate(embds_per_clip, axis=2)  # [B, N, T*n_clips, C]
-    n_tok = emb.shape[2]
-    flat = emb.reshape(B * N * n_tok, C)
-    obj = jnp.tile(jnp.repeat(jnp.arange(N), n_tok)[None], (B, 1)).reshape(-1)
-    vid = jnp.repeat(jnp.arange(B), N * n_tok)
-    keep = jnp.repeat(targets.valid.reshape(-1), n_tok)
-    sim = flat @ flat.T / math.sqrt(C)
-    pos = ((obj[:, None] == obj[None]) & (vid[:, None] == vid[None])).astype(jnp.float32)
-    inter_reid = contrastive_loss(sim, pos, keep, keep)
-    total = total + cfg.train.reid_weight * inter_reid
-    logged["loss_interclip_reid"] = inter_reid
+    # per decoder layer l >= 1 (:485-487): concat every clip's matched
+    # learnable-query embeddings; one RANDOM occurrence of each object
+    # id anchors the contrastive rows (:492-498 randperm + argmax ==
+    # uniform over that id's occurrences); ctt on sim/sqrt(C) + aux on
+    # clamped cosine sim; each weighted 0.5*reid_weight (:260).
+    num_layers = len(stash_per_clip[0])
+    r_inter = jax.random.fold_in(rng, 10_001)
+    w_inter = 0.5 * cfg.train.reid_weight
+    for l in range(1, num_layers):
+        emb = jnp.concatenate([s[l][0] for s in stash_per_clip], axis=2)
+        ids = jnp.concatenate([s[l][1] for s in stash_per_clip], axis=2)
+        r_l = jax.random.fold_in(r_inter, l)
+        ctt, aux = _interclip_layer_loss(emb, ids, targets.valid, r_l)
+        suffix = "" if l == num_layers - 1 else f"_{l}"
+        logged[f"loss_reid_interclip{suffix}"] = ctt
+        logged[f"loss_reid_interclip_aux{suffix}"] = aux
+        total = total + w_inter * (ctt + aux)
     return total, logged
+
+
+def _interclip_layer_loss(
+    emb: jnp.ndarray,   # [B, N, Tall, C] matched embeddings, all clips
+    ids: jnp.ndarray,   # [B, N, Tall] per-frame gt ids (-1 = absent)
+    obj_valid: jnp.ndarray,  # [B, N]
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One layer of the reference inter-clip ReID law
+    (univs_prompt_longvideo.py:489-524), fixed-shape: object slots act
+    as the unique-id set (each slot's id is constant over the frames
+    where it appears), the anchor is a uniformly random kept occurrence
+    of the slot (the randperm+argmax law), columns are every kept
+    token.  The reference supports only batch size 1 (:440); batches
+    average the per-video losses."""
+    B, N, Tall, C = emb.shape
+
+    def per_video(e, i, ov, r):
+        flat = e.reshape(N * Tall, C)
+        fid = i.reshape(N * Tall)
+        keep = (fid >= 0) & jnp.repeat(ov, Tall)
+        # one random kept occurrence per slot (gumbel-max over the mask)
+        g = jax.random.gumbel(r, (N, Tall))
+        g = jnp.where((i >= 0) & ov[:, None], g, -jnp.inf)
+        anchor_t = jnp.argmax(g, axis=-1)  # [N]
+        anchor = jax.vmap(lambda row, t: row[t])(e, anchor_t)  # [N, C]
+        slot_id = jnp.max(i, axis=-1)  # constant id of each slot (-1 absent)
+        row_valid = ov & (slot_id >= 0) & ((i >= 0).any(-1))
+        pos = (slot_id[:, None] == fid[None]).astype(jnp.float32)
+        sim = anchor @ flat.T / math.sqrt(C)
+        r1, _ = jax.random.split(r)
+        ctt = contrastive_loss(sim, pos, row_valid, keep, rng=r1)
+        nrm_a = anchor / jnp.maximum(
+            jnp.linalg.norm(anchor, axis=-1, keepdims=True), 1e-12)
+        nrm_f = flat / jnp.maximum(
+            jnp.linalg.norm(flat, axis=-1, keepdims=True), 1e-12)
+        aux = contrastive_aux_loss(nrm_a @ nrm_f.T, pos, row_valid, keep)
+        return ctt, aux
+
+    rs = jax.random.split(rng, B)
+    ctts, auxs = jax.vmap(per_video)(emb, ids, obj_valid, rs)
+    return ctts.mean(), auxs.mean()
