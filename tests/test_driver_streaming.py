@@ -83,6 +83,15 @@ def test_entity_driver_emission_keeps_overlap():
         return pool, None
 
     driver._clip_fn = stub_clip
+
+    def stub_clip_window(params, feats_window, rel, pool, clip_idx,
+                         clip_offset, first, cls_emb):
+        # the fused window fn slices feats internally; the stub ignores
+        # feats entirely, so just forward to the plain-clip stub
+        return stub_clip(params, None, pool, clip_idx, clip_offset, first,
+                         cls_emb)
+
+    driver._clip_window_fn = stub_clip_window
     driver._shift_fn = lambda pool: pool  # prompt rings unused here
 
     records = []

@@ -61,6 +61,19 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
             clip_offset, is_first, cls_emb, cc,
         )
 
+    @jax.jit
+    def clip_window_fn(params, feats_window, rel, pool, frame_indices,
+                       clip_offset, is_first, cls_emb):
+        # clip slicing INSIDE the jit: the 4 eager window gathers cost a
+        # measured ~34 ms/clip (~1 s/video) as standalone dispatches;
+        # fused here they ride the clip step's program
+        mf_w, ms_w = feats_window
+        feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
+        return entity_clip_step(
+            modules, params, feats, pool, frame_indices,
+            clip_offset, is_first, cls_emb, cc,
+        )
+
     import dataclasses
 
     cc_pixel = dataclasses.replace(cc, variant="pixel")
@@ -121,7 +134,8 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
         valid_snapshot = jnp.logical_or(pool.valid, False)
         return packed, scores, valid_snapshot, mp.evict_window(pool, out_frames)
 
-    return encode_window_fn, clip_fn, clip_pixel_fn, shift_fn, emit_fn, emit_packed_fn
+    return (encode_window_fn, clip_fn, clip_window_fn, clip_pixel_fn,
+            shift_fn, emit_fn, emit_packed_fn)
 
 
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -278,8 +292,9 @@ class EntityDriver:
                 cfg, self._backbone, self._modules, self.cc, self.stride, dtype
             )
             _DRIVER_JIT_MEMO[memo_key] = fns
-        (self._encode_window_fn, self._clip_fn, self._clip_pixel_fn,
-         self._shift_fn, self._emit_fn, self._emit_packed_fn) = fns
+        (self._encode_window_fn, self._clip_fn, self._clip_window_fn,
+         self._clip_pixel_fn, self._shift_fn, self._emit_fn,
+         self._emit_packed_fn) = fns
 
     # ------------------------------------------------------------------
 
@@ -349,7 +364,10 @@ class EntityDriver:
             clip_idx = np.arange(i, i + self.T)
             clip_idx = np.minimum(clip_idx, V - 1)  # clamp tail (repeat last)
 
-            if i + self.T > window_range[1]:
+            # frames beyond V-1 are clamped repeats already present in
+            # the current window — compare the CLAMPED clip end, or the
+            # tail triggers a whole redundant window encode (~1.6 s)
+            if min(i + self.T, V) > window_range[1]:
                 feats_window = next_feats if next_start == i else encode_at(i)
                 window_range = (i, i + self.window)
                 next_feats, next_start = None, -1
@@ -361,17 +379,18 @@ class EntityDriver:
                     if ns < V:
                         next_feats, next_start = encode_at(ns), ns
 
-            rel = clip_idx - window_range[0]
-            mf_w, ms_w = feats_window
-            feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
+            rel = np.minimum(clip_idx, V - 1) - window_range[0]
 
             clip_offset = jnp.int32(i - emitted_total)
             if thing_mask is None:
-                pool, _ = self._clip_fn(
-                    self.params, feats, pool, jnp.asarray(clip_idx),
-                    clip_offset, jnp.bool_(first), cls_emb,
+                pool, _ = self._clip_window_fn(
+                    self.params, feats_window, jnp.asarray(rel), pool,
+                    jnp.asarray(clip_idx), clip_offset, jnp.bool_(first),
+                    cls_emb,
                 )
             else:
+                mf_w, ms_w = feats_window
+                feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
                 pool, _ = self._clip_pixel_fn(
                     self.params, feats, pool, jnp.asarray(clip_idx),
                     clip_offset, jnp.bool_(first), cls_emb,
