@@ -61,7 +61,14 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
             clip_offset, is_first, cls_emb, cc,
         )
 
-    @jax.jit
+    # the pool pytree (~320 MB at 640x960/E=60, dominated by f32
+    # mask_logits) is threaded through every per-clip jit: DONATE it so
+    # XLA updates the ring buffers in place instead of copying the whole
+    # pool across each call boundary.  The streaming loops always
+    # reassign `pool` from the call's result, never reusing the old
+    # reference.  (clip_fn above stays undonated — probes/bench re-feed
+    # a fixed pool.)
+    @functools.partial(jax.jit, donate_argnums=(3,))
     def clip_window_fn(params, feats_window, rel, pool, frame_indices,
                        clip_offset, is_first, cls_emb):
         # clip slicing INSIDE the jit: the 4 eager window gathers cost a
@@ -78,7 +85,7 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
 
     cc_pixel = dataclasses.replace(cc, variant="pixel")
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def clip_pixel_fn(params, feats, pool, frame_indices, clip_offset, is_first,
                       cls_emb, thing_mask):
         # VPS panoptic newly-entity variant (detect_newly_entities_per_
@@ -88,11 +95,12 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
             clip_offset, is_first, cls_emb, cc_pixel, thing_mask,
         )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def shift_fn(pool):
         return mp.shift_clip(pool, stride)
 
-    @functools.partial(jax.jit, static_argnames=("out_frames",))
+    @functools.partial(jax.jit, static_argnames=("out_frames",),
+                       donate_argnums=(0,))
     def emit_fn(pool, out_frames: int):
         # one executable for both consumers (a static `divide` flag
         # would create a second executable of the same shape, which
@@ -115,7 +123,8 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
         return (divided.astype(jnp.float16), raw.astype(jnp.float16),
                 scores, valid_snapshot, mp.evict_window(pool, out_frames))
 
-    @functools.partial(jax.jit, static_argnames=("out_frames", "sizes"))
+    @functools.partial(jax.jit, static_argnames=("out_frames", "sizes"),
+                       donate_argnums=(0,))
     def emit_packed_fn(pool, out_frames: int, sizes):
         """VIS emission with the reference's host-side upsample law
         (save_results_vis:932-939) moved ON DEVICE: occurrence-divided
@@ -201,22 +210,25 @@ def _build_vos_fns(cfg, backbone, modules, cc, stride, dtype, query_mode):
         )
         return mask_features, tuple(ms)
 
-    @jax.jit
+    # pool donated throughout — see the note in _build_entity_fns
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def clip_fn(params, feats, pool, gt_clip, faf, obj_valid, frame_indices, clip_offset, cls_emb):
         pool = inject_gt_first_appearance(pool, gt_clip, faf, obj_valid, frame_indices, clip_offset)
         return vos_clip_step(modules, params, feats, pool, frame_indices,
                              clip_offset, cls_emb, cc, query_mode=query_mode)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def grounding_clip_fn(params, feats, pool, frame_indices, clip_offset, cls_emb, text_embs, text_valid):
         tp = TextPrompts(embs=text_embs, valid=text_valid)
         return vos_clip_step(modules, params, feats, pool, frame_indices,
                              clip_offset, cls_emb, cc,
                              text_prompts=tp, task="grounding")
 
-    shift_fn = jax.jit(lambda pool: mp.shift_clip(pool, stride))
+    shift_fn = jax.jit(lambda pool: mp.shift_clip(pool, stride),
+                       donate_argnums=(0,))
 
-    @functools.partial(jax.jit, static_argnames=("out_frames",))
+    @functools.partial(jax.jit, static_argnames=("out_frames",),
+                       donate_argnums=(0,))
     def emit_fn(pool, out_frames: int):
         masks = pool.mask_logits[:, :out_frames]
         return masks.astype(jnp.float16), mp.evict_window(pool, out_frames)

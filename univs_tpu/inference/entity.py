@@ -122,9 +122,13 @@ def entity_clip_step(
     vp = VisualPrompts(
         queries=queries[None],
         query_pos=query_pos[None],
-        kv=jnp.broadcast_to(kv[None, :, :, None], (1, E, L, T, kv.shape[-1])),
-        kv_pe=jnp.broadcast_to(kv_pe[None, :, :, None], (1, E, L, T, kv.shape[-1])),
-        kv_valid=jnp.broadcast_to(kv_valid[None, :, :, None], (1, E, L, T)),
+        # singleton frame axis: the kv is one prompt set per entity shared
+        # by every clip frame (reference repeats it, prompt_encoder.py:
+        # 494-495) — the decoder's ProCA folds frames into the query axis
+        # instead of materializing the T-fold broadcast
+        kv=kv[None, :, :, None],
+        kv_pe=kv_pe[None, :, :, None],
+        kv_valid=kv_valid[None, :, :, None],
         valid=pool.valid[None],
     )
 
@@ -253,7 +257,9 @@ def _detect_newly_instance(
     win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
     pool_bin = (win > 0).reshape(E, -1)
     cand_bin = (c_masks > 0).reshape(c_masks.shape[0], -1)
-    inter = (cand_bin[:, None] & pool_bin[None]).sum(-1)
+    # intersection as a matmul (MXU) — the [Qc, E, THW] boolean
+    # broadcast is a VPU-bound reduction ~50x slower on this part
+    inter = cand_bin.astype(jnp.float32) @ pool_bin.astype(jnp.float32).T
     union = jnp.maximum(cand_bin.sum(-1)[:, None] + pool_bin.sum(-1)[None] - inter, 1)
     miou_max = jnp.where(pool.valid[None], inter / union, 0.0).max(-1)
     conf = c_logits.max(-1)

@@ -158,9 +158,13 @@ def vos_clip_step(
         vp = VisualPrompts(
             queries=queries[None],
             query_pos=query_pos[None],
-            kv=jnp.broadcast_to(kv[None, :, :, None], (1, N, L, T, C)),
-            kv_pe=jnp.broadcast_to(kv_pe[None, :, :, None], (1, N, L, T, C)),
-            kv_valid=jnp.broadcast_to(kv_valid[None, :, :, None], (1, N, L, T)),
+            # singleton frame axis — the decoder's ProCA folds frames into
+            # the query axis instead of materializing the T-fold broadcast
+            # (the grounding concat path above still needs the full T axis
+            # to match the per-frame text kv)
+            kv=kv[None, :, :, None],
+            kv_pe=kv_pe[None, :, :, None],
+            kv_valid=kv_valid[None, :, :, None],
             valid=pool.valid[None],
         )
         out = decoder.apply(

@@ -245,6 +245,37 @@ class UniVSDecoder(nn.Module):
         out_p = output[:, Ql:]  # [B*T, Qp, C]
         pos_p = query_pos[:, Ql:]
 
+        if kv.shape[3] == 1 and t > 1:
+            # Frame-invariant kv (the entity/VOS memory pool reads one
+            # prompt set per entity and repeats it over the clip —
+            # reference prompt_encoder.py:494-495): fold the T frames
+            # into the QUERY axis instead of broadcasting the kv, so the
+            # k/v projections and HBM reads of the (large) kv run once
+            # per entity, not once per (entity, frame) — a T-fold
+            # traffic cut on the clip step's dominant tensor.  Each
+            # frame's query must still see only its OWN token as the
+            # "self" key, so the T self keys are prepended and the
+            # off-diagonal ones masked with -inf (exp(-inf)=0 — exactly
+            # the per-frame [self; kv] softmax of the reference,
+            # decoder_univs.py:456-496).
+            q = out_p.reshape(b, t, Qp, C).transpose(0, 2, 1, 3).reshape(b * Qp, t, C)
+            qp_ = pos_p.reshape(b, t, Qp, C).transpose(0, 2, 1, 3).reshape(b * Qp, t, C)
+            kv_sh = kv[:, :, :, 0].reshape(b * Qp, L, C)
+            keys = jnp.concatenate([q, kv_sh], axis=1)  # [B*Qp, T+L, C]
+            if kv_pe is not None:
+                pe_sh = kv_pe[:, :, :, 0].reshape(b * Qp, L, C)
+                key_pos = jnp.concatenate([qp_, pe_sh], axis=1)
+                q_pos = qp_
+            else:
+                key_pos, q_pos = None, None
+            eye = jnp.eye(t, dtype=bool)
+            bias = jnp.concatenate(
+                [jnp.where(eye, 0.0, NEG_INF), jnp.zeros((t, L))], axis=1
+            )[None, None]  # [1, 1, T, T+L]
+            new_p = self.proca_layers[i](q, keys, query_pos=q_pos, pos=key_pos, bias=bias)
+            new_p = new_p.reshape(b, Qp, t, C).transpose(0, 2, 1, 3).reshape(b * t, Qp, C)
+            return jnp.concatenate([output[:, :Ql], new_p], axis=1)
+
         # keys: [self; kv] per (B, T, Qp)
         kv_bt = kv.transpose(0, 3, 1, 2, 4).reshape(b * t, Qp, L, C)
         keys = jnp.concatenate([out_p[:, :, None], kv_bt], axis=2)  # [B*T, Qp, 1+L, C]
@@ -401,12 +432,16 @@ class UniVSDecoder(nn.Module):
                 # no pe (the reference skips the pe concat when either
                 # side is None).  Blank visual entries are zero vectors
                 # -> ProCA zero-bias tokens, the reference's blank law.
-                kv = jnp.concatenate(
-                    [visual_prompts.kv.astype(kv.dtype), kv], axis=2
-                )
+                vkv = visual_prompts.kv
+                vkvv = visual_prompts.kv_valid
+                if vkv.shape[3] == 1 and t > 1:
+                    # singleton-frame visual kv must match the per-frame
+                    # text kv's T axis for the concat
+                    vkv = jnp.broadcast_to(vkv, (*vkv.shape[:3], t, vkv.shape[4]))
+                    vkvv = jnp.broadcast_to(vkvv, (*vkvv.shape[:3], t))
+                kv = jnp.concatenate([vkv.astype(kv.dtype), kv], axis=2)
                 kv_valid = jnp.concatenate(
-                    [visual_prompts.kv_valid.astype(kv_valid.dtype), kv_valid],
-                    axis=2,
+                    [vkvv.astype(kv_valid.dtype), kv_valid], axis=2
                 )
             prompts = VisualPrompts(
                 queries=q, query_pos=qp, kv=kv, kv_pe=None,

@@ -117,7 +117,7 @@ class UniVSModel(nn.Module):
             t = images.shape[1]
             kv, kv_pe, kv_valid = jax.vmap(lambda s: broadcast_prompt_sample(s, t))(samples)
             use_pe = jax.random.uniform(rngs[b], ()) > 0.5  # coin flip (decoder_univs.py:646-649)
-            visual_prompts = make_visual_prompts(kv, kv_pe, kv_valid, samples.valid, use_pe)
+            visual_prompts = make_visual_prompts(kv, kv_pe, kv_valid, samples.valid, use_pe, t=t)
 
         return self.decoder(
             ms,

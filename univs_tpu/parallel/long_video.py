@@ -111,7 +111,7 @@ def long_video_loss(
         # from its own GT, exactly as the reference's per-clip
         # forward_prompt_encoder does.
         use_pe = jax.random.uniform(r_flip, ()) > 0.5
-        vp = make_visual_prompts(kv, kv_pe, kv_valid, samples.valid, use_pe)
+        vp = make_visual_prompts(kv, kv_pe, kv_valid, samples.valid, use_pe, t=T)
 
         out = model.apply(
             {"params": params}, imgs_c, fi_c, task="sot",

@@ -242,12 +242,12 @@ def sample_train_clip_prompts(
 
 
 def broadcast_prompt_sample(sample: PromptSample, t: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """[Qp, R, C] key-frame sets -> per-frame [Qp, R, T, C] (+valid).
+    """[Qp, R, C] key-frame sets -> SINGLETON frame axis [Qp, R, 1, C].
 
     The reference repeats key-frame features over the clip's T frames
-    (prompt_encoder.py:494-495)."""
-    Qp, R, C = sample.kv.shape
-    kv = jnp.broadcast_to(sample.kv[:, :, None], (Qp, R, t, C))
-    kv_pe = jnp.broadcast_to(sample.kv_pe[:, :, None], (Qp, R, t, C))
-    kv_valid = jnp.broadcast_to(sample.kv_valid[:, :, None], (Qp, R, t))
-    return kv, kv_pe, kv_valid
+    (prompt_encoder.py:494-495); here the decoder's ProCA folds frames
+    into the query axis for frame-invariant kv (decoder._proca), so the
+    materialized T-fold broadcast is unnecessary.  ``t`` is unused, kept
+    for signature stability."""
+    del t
+    return sample.kv[:, :, None], sample.kv_pe[:, :, None], sample.kv_valid[:, :, None]

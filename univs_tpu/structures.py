@@ -30,9 +30,13 @@ class VisualPrompts:
 
     queries: jnp.ndarray  # [B, Qp, T, C] content init (mean of valid kv)
     query_pos: jnp.ndarray  # [B, Qp, T, C]
-    kv: jnp.ndarray  # [B, Qp, L, T, C]
-    kv_pe: Optional[jnp.ndarray]  # [B, Qp, L, T, C] or None
-    kv_valid: jnp.ndarray  # [B, Qp, L, T] bool
+    # kv may carry a SINGLETON frame axis (shape [B, Qp, L, 1, C]) when
+    # the prompt set is shared by every clip frame (the entity/VOS
+    # memory-pool read) — the decoder's ProCA then folds frames into the
+    # query axis instead of materializing the T-fold broadcast.
+    kv: jnp.ndarray  # [B, Qp, L, T|1, C]
+    kv_pe: Optional[jnp.ndarray]  # [B, Qp, L, T|1, C] or None
+    kv_valid: jnp.ndarray  # [B, Qp, L, T|1] bool
     valid: jnp.ndarray  # [B, Qp] bool — real (non-padding) targets
 
     @property
@@ -46,6 +50,7 @@ def make_visual_prompts(
     kv_valid: jnp.ndarray,
     valid: jnp.ndarray,
     use_pe_as_query_pos: bool | jnp.ndarray = True,
+    t: Optional[int] = None,
 ) -> VisualPrompts:
     """Derive query initialisations from kv sets.
 
@@ -53,6 +58,10 @@ def make_visual_prompts(
     queries = mean of valid kv feats; query_pos = mean of valid kv PE
     (inference always; training coin-flips PE vs feats —
     pass the flip result via ``use_pe_as_query_pos``).
+
+    When the kv carries a singleton frame axis (shared prompt set) the
+    derived queries are broadcast to ``t`` — the decoder needs one query
+    per frame even though the kv stays unbroadcast.
     """
     denom = jnp.maximum(kv_valid.sum(axis=2)[..., None], 1)  # [B, Qp, T, 1]
     m = kv_valid[..., None].astype(kv.dtype)
@@ -65,6 +74,10 @@ def make_visual_prompts(
         qpos = pe_mean if use_pe_as_query_pos else feats_mean
     else:
         qpos = jnp.where(use_pe_as_query_pos, pe_mean, feats_mean)
+    if t is not None and feats_mean.shape[2] == 1 and t > 1:
+        B, Qp, _, C = feats_mean.shape
+        feats_mean = jnp.broadcast_to(feats_mean, (B, Qp, t, C))
+        qpos = jnp.broadcast_to(qpos, (B, Qp, t, C))
     return VisualPrompts(
         queries=feats_mean, query_pos=qpos, kv=kv, kv_pe=kv_pe,
         kv_valid=kv_valid, valid=valid,
