@@ -147,6 +147,25 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
             shift_fn, emit_fn, emit_packed_fn)
 
 
+# upsample+threshold+bitpack executables keyed by (rows, frames, sizes)
+# — applied at the end-of-video drain to the gathered valid-entity rows
+_PACK_JIT_MEMO: Dict = {}
+
+
+def _pack_rows(win: jnp.ndarray, sizes) -> jnp.ndarray:
+    """[P, n, H4, W4] fp16 divided logits -> packed output-res masks
+    (the reference's save_results_vis upsample law on device, applied
+    only to the P finally-valid rows)."""
+    key = (win.shape, win.dtype.name, sizes)
+    fn = _PACK_JIT_MEMO.get(key)
+    if fn is None:
+        image_size, out_size, padded_size = sizes
+        fn = jax.jit(lambda m: _upsample_threshold_pack(
+            m, image_size, out_size, padded_size))
+        _PACK_JIT_MEMO[key] = fn
+    return fn(win)
+
+
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """[..., W] bool -> [..., ceil(W/8)] uint8, big-endian bit order
     (np.unpackbits-compatible)."""
@@ -419,13 +438,15 @@ class EntityDriver:
                 # overlap frames stay in the pool and keep accumulating
                 # (reference drops only num_frames_window_output frames:
                 # inference_video_entity.py mask_logits[:, n_out:])
-                if packed_sizes is not None:
-                    win_masks, win_scores, win_valid, pool = \
-                        self._emit_packed_fn(pool, n_out, packed_sizes)
-                else:
-                    masks_div, masks_raw, win_scores, win_valid, pool = \
-                        self._emit_fn(pool, n_out)
-                    win_masks = masks_div if divide else masks_raw
+                # packed mode emits fp16 quarter-res windows too: the
+                # on-device upsample+pack runs at the DRAIN, on only the
+                # finally-valid entity rows — packing all E capacity
+                # slots per window here cost a measured ~6 s/video of
+                # full-resolution f32 resize traffic (the emit itself is
+                # capacity-shaped; validity is only known at video end)
+                masks_div, masks_raw, win_scores, win_valid, pool = \
+                    self._emit_fn(pool, n_out)
+                win_masks = masks_div if divide else masks_raw
                 # keep emitted windows ON DEVICE: fetching here would
                 # drain the FIFO queue and idle the chip while the host
                 # writes RLEs — the round-2 "double-buffering" item.
@@ -446,9 +467,10 @@ class EntityDriver:
         # single end-of-video drain (device->host)
         entity_rows = None
         if packed_sizes is not None and emitted:
-            # only finally-valid entity rows cross the (slow) D2H link;
-            # pad the gather index to a multiple of 8 so the tiny slice
-            # programs are shared across videos with similar counts
+            # only finally-valid entity rows are upsampled+bitpacked and
+            # cross the (slow) D2H link; pad the gather index to a
+            # multiple of 8 so the gather/pack programs are shared
+            # across videos with similar counts
             valid_final = np.asarray(pool.valid)
             entity_rows = np.flatnonzero(valid_final)
             if entity_rows.size:
@@ -458,9 +480,12 @@ class EntityDriver:
                     [entity_rows, np.repeat(entity_rows[-1:], pad)]
                 ).astype(np.int32)
                 idx_j = jnp.asarray(idx)
-                emitted = [m[idx_j] for m in emitted]
+                emitted = [_pack_rows(m[idx_j], packed_sizes)
+                           for m in emitted]
             else:
-                emitted = [m[:0] for m in emitted]
+                ph, pw = packed_sizes[1]
+                emitted = [np.zeros((0, m.shape[1], ph, (pw + 7) // 8),
+                                    np.uint8) for m in emitted]
         for m in emitted:
             try:  # overlap the window transfers where the runtime allows
                 m.copy_to_host_async()
