@@ -134,7 +134,10 @@ def main():
     from univs_tpu.inference.driver import EntityDriver
 
     V = 30
-    video = np.asarray(rng.rand(V, h, w, 3) * 255, np.float32)
+    # uint8 frames: raw video IS uint8; the driver normalizes on device.
+    # The f32 upload costs 4x more over the host->device link (measured
+    # ~21-34 MB/s under the tunnel — 6.2 s/video at f32, docs/PERFORMANCE.md)
+    video = np.asarray(rng.rand(V, h, w, 3) * 255, np.uint8)
     driver = EntityDriver(
         cfg, params, num_classes=K, capacity=cfg.inference.max_num_instances
     )
@@ -145,9 +148,31 @@ def main():
     print("bench: driver warm-up done", file=sys.stderr, flush=True)
     assert isinstance(results, list)
     iters = 3 if on_tpu else 1
+    # steady-state serving loop: the NEXT video's (uint8) upload is
+    # dispatched before the current video is processed, so the transfer
+    # rides the device queue alongside compute — the role the reference
+    # fills with dataloader prefetch workers.  The host->device link here
+    # is a ~21-34 MB/s tunnel (docs/PERFORMANCE.md), so unoverlapped
+    # uploads would dominate; production PCIe is ~3 orders faster.
+    # the queue is FIFO: a transfer enqueued BEFORE the video's compute
+    # serializes ahead of it, so the prefetch thread starts after
+    # run_vis begins dispatching and its transfer rides alongside
+    import threading
+
+    dev_next = jax.device_put(video)
+    box = {}
+
+    def prefetch():
+        box["d"] = jax.device_put(video)
+
     t0 = time.perf_counter()
     for _ in range(iters):
-        results = driver.run_vis(video, cls_emb)
+        cur = dev_next
+        th = threading.Thread(target=prefetch)
+        th.start()
+        results = driver.run_vis(cur, cls_emb)
+        th.join()
+        dev_next = box["d"]
     t_driver = (time.perf_counter() - t0) / iters
     driver_fps = V / t_driver
     n_entities = len(results)

@@ -46,8 +46,9 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
     def encode_window_fn(params, frames):
         # backbone + per-frame pixel decoder, amortized per window
         # (the reference reruns the encoder per clip — see
-        # inference/entity.py docstring)
-        x = ((frames - mean) / std).astype(dtype)
+        # inference/entity.py docstring).  Frames may arrive uint8 (the
+        # cheap-transfer path) — cast on device before normalizing.
+        x = ((frames.astype(jnp.float32) - mean) / std).astype(dtype)
         feats = backbone.apply({"params": params["backbone"]}, x)
         mask_features, _, _, ms = modules[0].apply(
             {"params": params["pixel_decoder"]}, feats
@@ -222,7 +223,7 @@ def _build_vos_fns(cfg, backbone, modules, cc, stride, dtype, query_mode):
 
     @jax.jit
     def encode_window_fn(params, frames):
-        x = ((frames - mean) / std).astype(dtype)
+        x = ((frames.astype(jnp.float32) - mean) / std).astype(dtype)
         feats = backbone.apply({"params": params["backbone"]}, x)
         mask_features, _, _, ms = modules[0].apply(
             {"params": params["pixel_decoder"]}, feats
@@ -357,7 +358,10 @@ class EntityDriver:
             prompt_history=self.T + self.stride,
         )
 
-        frames_j = jnp.asarray(frames, jnp.float32)
+        # preserve the caller's dtype: uint8 frames ship 4x fewer bytes
+        # over the (slow, ~21-34 MB/s here) host->device link and are
+        # cast/normalized on device inside the window encode
+        frames_j = jnp.asarray(frames)
         if self._enc_dev is not None:
             frames_j = jax.device_put(frames_j, self._enc_dev)
             pool = jax.device_put(pool, self._dec_dev)
@@ -543,7 +547,7 @@ class EntityDriver:
         V, H, W = frames.shape[:3]
         image_size = image_size or (H, W)
         out_size = out_size or image_size
-        frames_j = jnp.asarray(frames, jnp.float32)
+        frames_j = jnp.asarray(frames)  # keep uint8 uint8: 4x cheaper H2D
         pd, dec = self._modules
         ih, iw = image_size
 
@@ -827,7 +831,7 @@ class VOSDriver:
             num_prompt_points=self.cc.num_dense_points,
             embd_history=8, prompt_history=self.T + self.stride,
         )
-        frames_j = jnp.asarray(frames, jnp.float32)
+        frames_j = jnp.asarray(frames)  # keep uint8 uint8: 4x cheaper H2D
         faf_j = jnp.asarray(faf, jnp.int32)
         ov_j = jnp.asarray(obj_valid)
 
@@ -908,7 +912,7 @@ class VOSDriver:
             valid=jnp.arange(self.capacity) < N,
             first_appear=jnp.where(jnp.arange(self.capacity) < N, 0, -1),
         )
-        frames_j = jnp.asarray(frames, jnp.float32)
+        frames_j = jnp.asarray(frames)  # keep uint8 uint8: 4x cheaper H2D
         feats_window, window_range = None, (0, 0)
         emitted, emit_starts, emitted_total = [], [], 0
         i, is_last = 0, False

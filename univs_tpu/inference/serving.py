@@ -46,7 +46,7 @@ def _build_batched_fns(cfg, backbone, modules, cc, stride, dtype):
     @jax.jit
     def encode_fn(params, frames):
         # frames [B*Wn, H, W, 3]: the video axis rides the frame axis
-        x = ((frames - mean) / std).astype(dtype)
+        x = ((frames.astype(jnp.float32) - mean) / std).astype(dtype)
         feats = backbone.apply({"params": params["backbone"]}, x)
         mask_features, _, _, ms = modules[0].apply(
             {"params": params["pixel_decoder"]}, feats
@@ -177,7 +177,7 @@ class BatchedVISServer:
             lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), pool1
         )
 
-        frames_j = jnp.asarray(frames_b, jnp.float32)
+        frames_j = jnp.asarray(frames_b)  # keep uint8 uint8: 4x cheaper H2D
         feats_window = None
         window_range = (0, 0)
         emitted = [[] for _ in range(B)]
