@@ -84,12 +84,14 @@ def test_entity_driver_emission_keeps_overlap():
 
     driver._clip_fn = stub_clip
 
-    def stub_clip_window(params, feats_window, rel, pool, clip_idx,
-                         clip_offset, first, cls_emb):
-        # the fused window fn slices feats internally; the stub ignores
-        # feats entirely, so just forward to the plain-clip stub
-        return stub_clip(params, None, pool, clip_idx, clip_offset, first,
-                         cls_emb)
+    def stub_clip_window(params, feats_window, sched, ci, pool, cls_emb):
+        # the fused window fn reads per-clip indices from the device
+        # schedule and ignores feats; forward to the plain-clip stub
+        _, idx_all, off_all = sched
+        c = int(ci)
+        pool, _ = stub_clip(params, None, pool, idx_all[c], off_all[c],
+                            c == 0, cls_emb)
+        return pool, ci + 1
 
     driver._clip_window_fn = stub_clip_window
     driver._shift_fn = lambda pool: pool  # prompt rings unused here

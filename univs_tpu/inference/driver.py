@@ -69,18 +69,26 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
     # reassign `pool` from the call's result, never reusing the old
     # reference.  (clip_fn above stays undonated — probes/bench re-feed
     # a fixed pool.)
-    @functools.partial(jax.jit, donate_argnums=(3,))
-    def clip_window_fn(params, feats_window, rel, pool, frame_indices,
-                       clip_offset, is_first, cls_emb):
-        # clip slicing INSIDE the jit: the 4 eager window gathers cost a
-        # measured ~34 ms/clip (~1 s/video) as standalone dispatches;
-        # fused here they ride the clip step's program
+    @functools.partial(jax.jit, donate_argnums=(4,))
+    def clip_window_fn(params, feats_window, sched, ci, pool, cls_emb):
+        # Per-clip indices come from a DEVICE-resident schedule uploaded
+        # once per video, indexed by a device step counter that the call
+        # returns incremented — the loop makes zero per-clip host->device
+        # transfers (each small transfer pays wire latency on this
+        # link).  Clip slicing also lives here: the 4 eager window
+        # gathers cost a measured ~34 ms/clip as standalone dispatches.
+        rel_all, idx_all, off_all = sched
+        rel = rel_all[ci]
+        frame_indices = idx_all[ci]
+        clip_offset = off_all[ci]
+        is_first = ci == 0
         mf_w, ms_w = feats_window
         feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
-        return entity_clip_step(
+        pool, emit = entity_clip_step(
             modules, params, feats, pool, frame_indices,
             clip_offset, is_first, cls_emb, cc,
         )
+        return pool, ci + 1
 
     import dataclasses
 
@@ -381,6 +389,38 @@ class EntityDriver:
             lo = end - self.T + 1
             return int(-(-lo // self.stride) * self.stride)
 
+        if thing_mask is None:
+            # device-resident clip schedule (rel/frame-idx/offset per clip
+            # step), uploaded in ONE transfer; the loop's clip dispatches
+            # then carry no per-clip host->device arrays at all (each
+            # small transfer pays full wire latency on this link).  Must
+            # mirror the dispatch loop below exactly.
+            rel_l, idx_l, off_l = [], [], []
+            wr, etot, ii, last = (0, 0), 0, 0, False
+            while ii < V and not last:
+                last = ii + self.T >= V
+                cidx = np.minimum(np.arange(ii, ii + self.T), V - 1)
+                if min(ii + self.T, V) > wr[1]:
+                    wr = (ii, ii + self.window)
+                rel_l.append(cidx - wr[0])
+                idx_l.append(cidx)
+                off_l.append(ii - etot)
+                while (ii + self.T - etot) >= (self.out_window + self.T) or (
+                    last and etot < V
+                ):
+                    etot += (self.out_window if not last
+                             else min(V - etot, self.out_window + self.T))
+                    if last and etot >= V:
+                        break
+                ii += self.stride
+            sched = (jnp.asarray(np.stack(rel_l).astype(np.int32)),
+                     jnp.asarray(np.stack(idx_l).astype(np.int32)),
+                     jnp.asarray(np.asarray(off_l, np.int32)))
+            ci = jnp.int32(0)
+            if self._dec_dev is not None:
+                sched = jax.device_put(sched, self._dec_dev)
+                ci = jax.device_put(ci, self._dec_dev)
+
         feats_window = None
         next_feats = None
         next_start = -1
@@ -416,19 +456,16 @@ class EntityDriver:
 
             rel = np.minimum(clip_idx, V - 1) - window_range[0]
 
-            clip_offset = jnp.int32(i - emitted_total)
             if thing_mask is None:
-                pool, _ = self._clip_window_fn(
-                    self.params, feats_window, jnp.asarray(rel), pool,
-                    jnp.asarray(clip_idx), clip_offset, jnp.bool_(first),
-                    cls_emb,
+                pool, ci = self._clip_window_fn(
+                    self.params, feats_window, sched, ci, pool, cls_emb,
                 )
             else:
                 mf_w, ms_w = feats_window
                 feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
                 pool, _ = self._clip_pixel_fn(
                     self.params, feats, pool, jnp.asarray(clip_idx),
-                    clip_offset, jnp.bool_(first), cls_emb,
+                    jnp.int32(i - emitted_total), jnp.bool_(first), cls_emb,
                     jnp.asarray(thing_mask),
                 )
             first = False
