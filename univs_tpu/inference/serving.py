@@ -221,12 +221,11 @@ class BatchedVISServer:
             ):
                 n_out = self.out_window if not is_last else min(
                     V - emitted_total, self.out_window + self.T)
-                if packed_sizes is not None:
-                    masks_div, win_scores, win_valid, pool = \
-                        self._emit_packed_fn(pool, n_out, packed_sizes)
-                else:
-                    masks_div, win_scores, win_valid, pool = \
-                        self._emit_fn(pool, n_out)
+                # packed mode also emits fp16 quarter-res windows: the
+                # upsample+pack runs at the drain on only the
+                # finally-valid rows (see EntityDriver._stream)
+                masks_div, win_scores, win_valid, pool = \
+                    self._emit_fn(pool, n_out)
                 for b in range(B):
                     emitted[b].append(masks_div[b])
                     emit_scores[b].append(win_scores[b])
@@ -244,6 +243,8 @@ class BatchedVISServer:
         # single-video driver)
         entity_rows = [None] * B
         if packed_sizes is not None:
+            from univs_tpu.inference.driver import _pack_rows
+
             valid_b = np.asarray(pool.valid)
             for b in range(B):
                 rows = np.flatnonzero(valid_b[b])
@@ -252,9 +253,12 @@ class BatchedVISServer:
                     pad = min((-rows.size) % 8, valid_b.shape[1] - rows.size)
                     idx = jnp.asarray(np.concatenate(
                         [rows, np.repeat(rows[-1:], pad)]).astype(np.int32))
-                    emitted[b] = [m[idx] for m in emitted[b]]
+                    emitted[b] = [_pack_rows(m[idx], packed_sizes)
+                                  for m in emitted[b]]
                 else:
-                    emitted[b] = [m[:0] for m in emitted[b]]
+                    ph, pw = packed_sizes[1]
+                    emitted[b] = [np.zeros((0, m.shape[1], ph, (pw + 7) // 8),
+                                           np.uint8) for m in emitted[b]]
         for e in emitted:
             for m in e:
                 try:

@@ -374,9 +374,12 @@ class UniVSDecoder(nn.Module):
         # allowed attends everywhere
         any_allowed = allowed.any(axis=(-2, -1), keepdims=True)
         allowed = allowed | ~any_allowed
-        bias = jnp.where(
-            allowed.transpose(0, 2, 1, 3, 4).reshape(b * t, 1, Q, -1), 0.0, NEG_INF
-        )  # [B*T, 1, Q, hw]
+        # keep the bias as BOOL [B*T, 1, Q, hw]: the attention applies
+        # where(allowed, logits, NEG_INF), which softmaxes identically to
+        # the additive form (masked entries underflow to exactly 0 either
+        # way) at 1/4 the HBM bytes — this tensor is 50 MB f32 per layer
+        # at the 1/8 level and crosses HBM twice per decoder layer
+        bias = allowed.transpose(0, 2, 1, 3, 4).reshape(b * t, 1, Q, -1)
         bias = jax.lax.stop_gradient(bias)
         return logits, masks, embds_raw, bias
 

@@ -59,7 +59,13 @@ class MultiHeadAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         logits = logits / jnp.sqrt(jnp.float32(hd))
         if bias is not None:
-            logits = logits + bias
+            if bias.dtype == jnp.bool_:
+                # boolean allow-mask: identical softmax to the additive
+                # NEG_INF form (masked entries underflow to exactly 0 in
+                # both), at 1/4 the bias bytes
+                logits = jnp.where(bias, logits, NEG_INF)
+            else:
+                logits = logits + bias
         weights = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
         out = out.reshape(*out.shape[:-2], C)
