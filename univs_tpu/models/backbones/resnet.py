@@ -73,6 +73,11 @@ class Bottleneck(nn.Module):
 
 
 _STAGE_SPECS = {
+    # depth 10: one bottleneck per stage — NOT a torchvision geometry;
+    # a test/dryrun-only trunk with the same stride/channel contract as
+    # R50 so the full graph (pixel decoder, decoder, criterion) exercises
+    # identically while compiling ~6x faster on the CPU dryrun mesh
+    10: (1, 1, 1, 1),
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),
 }
