@@ -148,31 +148,23 @@ def main():
     print("bench: driver warm-up done", file=sys.stderr, flush=True)
     assert isinstance(results, list)
     iters = 3 if on_tpu else 1
-    # steady-state serving loop: the NEXT video's (uint8) upload is
-    # dispatched before the current video is processed, so the transfer
-    # rides the device queue alongside compute — the role the reference
-    # fills with dataloader prefetch workers.  The host->device link here
-    # is a ~21-34 MB/s tunnel (docs/PERFORMANCE.md), so unoverlapped
-    # uploads would dominate; production PCIe is ~3 orders faster.
-    # the queue is FIFO: a transfer enqueued BEFORE the video's compute
-    # serializes ahead of it, so the prefetch thread starts after
-    # run_vis begins dispatching and its transfer rides alongside
-    import threading
-
-    dev_next = jax.device_put(video)
-    box = {}
-
-    def prefetch():
-        box["d"] = jax.device_put(video)
-
+    # steady-state serving loop (the driver's pipelined API): video k+1's
+    # compute is dispatched BEFORE video k's drain/RLE work, so the host
+    # assembly overlaps device compute; the NEXT video's (uint8) upload
+    # is enqueued BEHIND each video's compute so the transfer rides the
+    # FIFO backlog on the copy engine instead of serializing ahead of the
+    # clip programs (the round-4 bench enqueued it first and lost ~1.9
+    # s/video — one 55 MB upload at the measured ~21-34 MB/s tunnel).
+    dev_video = jax.device_put(video)  # first upload excluded, as in r4
     t0 = time.perf_counter()
-    for _ in range(iters):
-        cur = dev_next
-        th = threading.Thread(target=prefetch)
-        th.start()
-        results = driver.run_vis(cur, cls_emb)
-        th.join()
-        dev_next = box["d"]
+    hd = driver.start_vis(dev_video, cls_emb, next_frames=video)
+    for _ in range(iters - 1):
+        hd_next = driver.start_vis(
+            hd["next_frames_device"], cls_emb, next_frames=video
+        )
+        results = driver.finish_vis(hd)
+        hd = hd_next
+    results = driver.finish_vis(hd)
     t_driver = (time.perf_counter() - t0) / iters
     driver_fps = V / t_driver
     n_entities = len(results)

@@ -100,3 +100,47 @@ def test_fast_vps_driver(setup):
     assert pan.shape == (4, 16, 24)
     assert all({"id", "isthing", "category_id"} <= set(i) for i in infos)
     assert pan.max() <= len(infos)
+
+
+def test_semantic_feature_to_mask_roundtrip(setup):
+    """The saved-feature consumer (semantic_feature_to_mask.py:30-150)
+    reconstructs EXACTLY the decoder's own masks at the compressed
+    resolution: the mask einsum is linear in the mask features, so
+    einsum(membed, avgpool8(mf)) == avgpool8(einsum(membed, mf))."""
+    from univs_tpu.inference.fast_vis import semantic_features_to_masks
+    from univs_tpu.models.univs import UniVSModel
+    from univs_tpu.structures import TextPrompts
+
+    cfg, params, cls_bank = setup
+    rng = np.random.RandomState(7)
+    frames = rng.rand(2, 64, 96, 3).astype(np.float32) * 255
+    driver = SemanticExtractionDriver(cfg, params)
+    toks, mfs = driver.run(frames, cls_bank)
+
+    cls_logits, mask_logits, keep = semantic_features_to_masks(
+        cfg, params, toks, mfs, cls_bank, only_high_conf_masks=False,
+    )
+    Q = cfg.decoder.num_queries
+    assert mask_logits.shape[:2] == (Q, 2) and len(keep) == Q
+
+    # direct decoder forward on the same clip -> avg-pool8 its masks
+    model = UniVSModel(cfg)
+    tp = TextPrompts(
+        embs=cls_bank[None, :, None, :], valid=jnp.ones((1, 5), bool)
+    )
+    out = model.apply(
+        {"params": params}, jnp.asarray(frames[None]), jnp.arange(2)[None],
+        task="detection", text_prompts=tp, cls_emb=cls_bank,
+    )
+    direct = np.asarray(out["pred_masks"][0, :Q], np.float32)  # [Q, T, H4, W4]
+    t_, h4, w4 = direct.shape[1:]
+    pooled = direct.reshape(Q, t_, h4 // 8, 8, w4 // 8, 8).mean(axis=(3, 5))
+    np.testing.assert_allclose(mask_logits, pooled, atol=2e-4, rtol=1e-3)
+
+    # high-conf filtering returns a subset with the same rows
+    cls_f, masks_f, keep_f = semantic_features_to_masks(
+        cfg, params, toks, mfs, cls_bank, apply_cls_thres=-1.0,
+        apply_mask_quality_thres=-1.0, cls_start=0, temporal_stride=1,
+    )
+    assert len(keep_f) == Q  # thresholds at -1 keep everything
+    np.testing.assert_allclose(masks_f, mask_logits, atol=1e-6)

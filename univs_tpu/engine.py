@@ -528,6 +528,22 @@ def _eval_vos(cfg, params, records, mapper, cls_bank, output_dir=None,
                 n + 1: int(anns[n].get("raw_category_id",
                                        anns[n].get("category_id", 1))) - 1
                 for n in range(N)}
+            # fail loudly on ids outside the VIPOSeg tables: a dataset
+            # registered with 0-based json category ids would shift
+            # every class here and silently drop objects from all
+            # buckets (bucket_of -> None)
+            known = set(pvos_eval.THING_CLASSES) | set(pvos_eval.STUFF_CLASSES)
+            bad = {o: c for o, c in obj_classes.items() if c not in known}
+            if bad:
+                import warnings
+
+                warnings.warn(
+                    "PVOS: object class ids %r not in the VIPOSeg thing/"
+                    "stuff tables (expected 1-based json category_id); "
+                    "these objects are EXCLUDED from every G bucket — "
+                    "check the dataset registration" % (bad,),
+                    stacklevel=2,
+                )
             unseen_machine = (
                 rec.get("video_name", "") in pvos_eval.OTHER_MACHINE_UNSEEN_VIDEOS)
             samples, _ = pvos_eval.pvos_video_samples(

@@ -182,6 +182,8 @@ def pvos_decay_fit(decay: Dict[int, List[float]]) -> float:
         if v != [] and k < 60:
             x.append(k)
             y.append(float(np.mean(v)))
+    if not x:  # empty/all-filtered decay dict: no fit, not a LinAlgError
+        return float("nan")
     A = np.asarray(x, np.float64)[:, None] / 100.0
     b = -np.log(np.asarray(y, np.float64)[:, None])
     coef = np.linalg.inv(A.T @ A) @ A.T @ b

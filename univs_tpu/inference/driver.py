@@ -132,28 +132,12 @@ def _build_entity_fns(cfg, backbone, modules, cc, stride, dtype):
         return (divided.astype(jnp.float16), raw.astype(jnp.float16),
                 scores, valid_snapshot, mp.evict_window(pool, out_frames))
 
-    @functools.partial(jax.jit, static_argnames=("out_frames", "sizes"),
-                       donate_argnums=(0,))
-    def emit_packed_fn(pool, out_frames: int, sizes):
-        """VIS emission with the reference's host-side upsample law
-        (save_results_vis:932-939) moved ON DEVICE: occurrence-divided
-        logits -> bilinear upsample to the padded size -> crop ->
-        resize to the output size -> threshold > 0 -> bitpack.  The
-        driver then transfers 1-bit masks instead of fp16 quarter-res
-        logits and skips the (measured ~0.5 s per entity-window) host
-        torch upsample entirely."""
-        image_size, out_size, padded_size = sizes
-        raw = pool.mask_logits[:, :out_frames]
-        occ = jnp.maximum(pool.occurrence[:, :out_frames], 1.0)
-        divided = raw / occ[:, :, None, None]
-        packed = _upsample_threshold_pack(divided, image_size, out_size,
-                                          padded_size)
-        scores = pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None]
-        valid_snapshot = jnp.logical_or(pool.valid, False)
-        return packed, scores, valid_snapshot, mp.evict_window(pool, out_frames)
-
+    # (the former emit_packed_fn — packing every capacity slot per window
+    # on device — is gone from the production tuple: windows emit fp16
+    # quarter-res and the upsample+pack runs at the drain on only the
+    # finally-valid rows, see _pack_rows)
     return (encode_window_fn, clip_fn, clip_window_fn, clip_pixel_fn,
-            shift_fn, emit_fn, emit_packed_fn)
+            shift_fn, emit_fn)
 
 
 # upsample+threshold+bitpack executables keyed by (rows, frames, sizes)
@@ -333,28 +317,66 @@ class EntityDriver:
             )
             _DRIVER_JIT_MEMO[memo_key] = fns
         (self._encode_window_fn, self._clip_fn, self._clip_window_fn,
-         self._clip_pixel_fn, self._shift_fn, self._emit_fn,
-         self._emit_packed_fn) = fns
+         self._clip_pixel_fn, self._shift_fn, self._emit_fn) = fns
 
     # ------------------------------------------------------------------
 
-    def _stream(self, frames: np.ndarray, cls_emb: jnp.ndarray, divide: bool,
-                thing_mask: Optional[np.ndarray] = None,
-                packed_sizes=None):
-        """Run the clip loop over one video; returns
-        (emitted mask windows, window starts, score snapshots,
-        valid snapshots, final pool).  ``thing_mask`` selects the VPS
-        pixel newly-entity variant.
+    def _iter_clips(self, V: int):
+        """The ONE clip/window/emission schedule for a V-frame video.
 
-        ``packed_sizes``: optional (image_size, out_size, padded_size)
-        triple.  When set, windows are emitted as bit-packed binary
-        masks at the OUTPUT resolution (the upsample+threshold law runs
-        on device — see ``emit_packed_fn``), and only the rows of
-        finally-valid entities are drained to the host; the emitted
-        arrays are then [n_valid_padded, n, out_h, ceil(out_w/8)] uint8
-        and the extra return value ``entity_rows`` maps rows to entity
-        slots.  Otherwise behavior is unchanged and entity_rows is
-        None."""
+        Both the device-resident schedule precompute and the dispatch
+        loop consume this generator, so they cannot drift apart.  Yields
+        per-clip dicts: ``i`` clip start, ``clip_idx`` absolute frame
+        indices (tail-clamped), ``rel`` window-relative indices,
+        ``offset`` = i - frames emitted so far, ``new_window`` = window
+        start when this clip needs a fresh encode else None, ``emits`` =
+        [(start, n_out), ...] output windows due after this clip,
+        ``is_last``."""
+        window_range = (0, 0)
+        emitted_total = 0
+        i, is_last = 0, False
+        while i < V and not is_last:
+            is_last = i + self.T >= V
+            clip_idx = np.minimum(np.arange(i, i + self.T), V - 1)
+            # frames beyond V-1 are clamped repeats already present in
+            # the current window — compare the CLAMPED clip end, or the
+            # tail triggers a whole redundant window encode (~1.6 s)
+            new_window = None
+            if min(i + self.T, V) > window_range[1]:
+                new_window = i
+                window_range = (i, i + self.window)
+            offset = i - emitted_total
+            emits = []
+            while (i + self.T - emitted_total) >= (self.out_window + self.T) or (
+                is_last and emitted_total < V
+            ):
+                n_out = (self.out_window if not is_last
+                         else min(V - emitted_total, self.out_window + self.T))
+                emits.append((emitted_total, n_out))
+                emitted_total += n_out
+                if is_last and emitted_total >= V:
+                    break
+            yield {
+                "i": i, "clip_idx": clip_idx,
+                "rel": clip_idx - window_range[0], "offset": offset,
+                "new_window": new_window, "emits": emits, "is_last": is_last,
+            }
+            i += self.stride
+
+    def _dispatch(self, frames: np.ndarray, cls_emb: jnp.ndarray, divide: bool,
+                  thing_mask: Optional[np.ndarray] = None,
+                  next_frames: Optional[np.ndarray] = None) -> Dict:
+        """Dispatch one video's full clip loop WITHOUT any device->host
+        sync; returns a handle dict whose leaves are device arrays.
+        ``thing_mask`` selects the VPS pixel newly-entity variant.
+
+        ``next_frames``: optional NEXT video to pre-upload.  The
+        host->device transfer is enqueued AFTER this video's compute, so
+        it rides the FIFO queue alongside the ~seconds of backlog
+        instead of blocking it (a transfer enqueued BEFORE the compute
+        serializes the whole video behind it — the round-4 bench lost
+        ~1.9 s/video exactly this way).  The uploaded device array is
+        returned under ``next_frames_device``."""
         V, H, W = frames.shape[:3]
         mask_hw = (H // 4, W // 4)
 
@@ -393,29 +415,14 @@ class EntityDriver:
             # device-resident clip schedule (rel/frame-idx/offset per clip
             # step), uploaded in ONE transfer; the loop's clip dispatches
             # then carry no per-clip host->device arrays at all (each
-            # small transfer pays full wire latency on this link).  Must
-            # mirror the dispatch loop below exactly.
-            rel_l, idx_l, off_l = [], [], []
-            wr, etot, ii, last = (0, 0), 0, 0, False
-            while ii < V and not last:
-                last = ii + self.T >= V
-                cidx = np.minimum(np.arange(ii, ii + self.T), V - 1)
-                if min(ii + self.T, V) > wr[1]:
-                    wr = (ii, ii + self.window)
-                rel_l.append(cidx - wr[0])
-                idx_l.append(cidx)
-                off_l.append(ii - etot)
-                while (ii + self.T - etot) >= (self.out_window + self.T) or (
-                    last and etot < V
-                ):
-                    etot += (self.out_window if not last
-                             else min(V - etot, self.out_window + self.T))
-                    if last and etot >= V:
-                        break
-                ii += self.stride
-            sched = (jnp.asarray(np.stack(rel_l).astype(np.int32)),
-                     jnp.asarray(np.stack(idx_l).astype(np.int32)),
-                     jnp.asarray(np.asarray(off_l, np.int32)))
+            # small transfer pays full wire latency on this link).
+            # Derived from the same generator as the dispatch loop.
+            plan = list(self._iter_clips(V))
+            sched = (
+                jnp.asarray(np.stack([c["rel"] for c in plan]).astype(np.int32)),
+                jnp.asarray(np.stack([c["clip_idx"] for c in plan]).astype(np.int32)),
+                jnp.asarray(np.asarray([c["offset"] for c in plan], np.int32)),
+            )
             ci = jnp.int32(0)
             if self._dec_dev is not None:
                 sched = jax.device_put(sched, self._dec_dev)
@@ -424,37 +431,24 @@ class EntityDriver:
         feats_window = None
         next_feats = None
         next_start = -1
-        window_range = (0, 0)
-        emitted: List[np.ndarray] = []
+        emitted: List[jnp.ndarray] = []
         emit_starts: List[int] = []
-        emit_scores: List[np.ndarray] = []  # [E, K] snapshot per window
-        emit_valids: List[np.ndarray] = []
-        emitted_total = 0
+        emit_scores: List[jnp.ndarray] = []  # [E, K] snapshot per window
+        emit_valids: List[jnp.ndarray] = []
 
-        is_last = False
-        i = 0
         first = True
-        while i < V and not is_last:
-            is_last = i + self.T >= V
-            clip_idx = np.arange(i, i + self.T)
-            clip_idx = np.minimum(clip_idx, V - 1)  # clamp tail (repeat last)
-
-            # frames beyond V-1 are clamped repeats already present in
-            # the current window — compare the CLAMPED clip end, or the
-            # tail triggers a whole redundant window encode (~1.6 s)
-            if min(i + self.T, V) > window_range[1]:
-                feats_window = next_feats if next_start == i else encode_at(i)
-                window_range = (i, i + self.window)
+        for c in self._iter_clips(V):
+            if c["new_window"] is not None:
+                i0 = c["new_window"]
+                feats_window = next_feats if next_start == i0 else encode_at(i0)
                 next_feats, next_start = None, -1
                 if self._enc_dev is not None:
                     # eagerly dispatch the NEXT window's encode: it runs
                     # on the encode chip while this window's clip
                     # decodes run on the decode chip
-                    ns = next_window_start(window_range[1])
+                    ns = next_window_start(i0 + self.window)
                     if ns < V:
                         next_feats, next_start = encode_at(ns), ns
-
-            rel = np.minimum(clip_idx, V - 1) - window_range[0]
 
             if thing_mask is None:
                 pool, ci = self._clip_window_fn(
@@ -462,60 +456,73 @@ class EntityDriver:
                 )
             else:
                 mf_w, ms_w = feats_window
+                rel = c["rel"]
                 feats = (mf_w[rel], tuple(m[rel] for m in ms_w))
                 pool, _ = self._clip_pixel_fn(
-                    self.params, feats, pool, jnp.asarray(clip_idx),
-                    jnp.int32(i - emitted_total), jnp.bool_(first), cls_emb,
+                    self.params, feats, pool, jnp.asarray(c["clip_idx"]),
+                    jnp.int32(c["offset"]), jnp.bool_(first), cls_emb,
                     jnp.asarray(thing_mask),
                 )
             first = False
 
-            # emit full output windows
-            while (i + self.T - emitted_total) >= (self.out_window + self.T) or (
-                is_last and emitted_total < V
-            ):
-                n_out = self.out_window if not is_last else min(V - emitted_total, self.out_window + self.T)
+            for start, n_out in c["emits"]:
                 # emit + evict exactly n_out frames: the trailing T
                 # overlap frames stay in the pool and keep accumulating
                 # (reference drops only num_frames_window_output frames:
-                # inference_video_entity.py mask_logits[:, n_out:])
-                # packed mode emits fp16 quarter-res windows too: the
-                # on-device upsample+pack runs at the DRAIN, on only the
-                # finally-valid entity rows — packing all E capacity
-                # slots per window here cost a measured ~6 s/video of
-                # full-resolution f32 resize traffic (the emit itself is
-                # capacity-shaped; validity is only known at video end)
+                # inference_video_entity.py mask_logits[:, n_out:]).
+                # Windows emit fp16 quarter-res and STAY ON DEVICE until
+                # the drain: fetching here would idle the chip while the
+                # host writes RLEs; packing all E capacity slots here
+                # cost a measured ~6 s/video of f32 resize traffic
+                # (validity is only known at video end).
                 masks_div, masks_raw, win_scores, win_valid, pool = \
                     self._emit_fn(pool, n_out)
-                win_masks = masks_div if divide else masks_raw
-                # keep emitted windows ON DEVICE: fetching here would
-                # drain the FIFO queue and idle the chip while the host
-                # writes RLEs — the round-2 "double-buffering" item.
-                # Packed windows are ~17 MB/frame-window at 640x960;
-                # fp16 quarter-res logit windows ~115 MB at E=60 — a
-                # whole video's worth fits in HBM comfortably.
-                emitted.append(win_masks)
+                emitted.append(masks_div if divide else masks_raw)
                 emit_scores.append(win_scores)
                 emit_valids.append(win_valid)
-                emit_starts.append(emitted_total)
-                emitted_total += n_out
-                if is_last and emitted_total >= V:
-                    break
+                emit_starts.append(start)
 
-            if not is_last:
+            if not c["is_last"]:
                 pool = self._shift_fn(pool)
-            i += self.stride
-        # single end-of-video drain (device->host)
+
+        next_dev = None
+        if next_frames is not None:
+            # enqueued BEHIND everything above: the transfer overlaps
+            # this video's queued compute on the copy engine
+            put = (functools.partial(jax.device_put, device=self._enc_dev)
+                   if self._enc_dev is not None else jax.device_put)
+            next_dev = put(next_frames)
+
+        return {
+            "V": V, "padded_size": (H, W), "pool": pool,
+            "emitted": emitted, "emit_starts": emit_starts,
+            "emit_scores": emit_scores, "emit_valids": emit_valids,
+            "next_frames_device": next_dev, "drained": False,
+        }
+
+    def _queue_drain(self, h: Dict, packed_sizes=None) -> None:
+        """Sync on the final pool validity, then dispatch the packed
+        upsample (valid rows only) and start async D2H copies.  After
+        this returns, ``h['emitted']`` holds arrays whose fetch is
+        device-complete (or in flight)."""
+        if h["drained"]:
+            return
+        h["drained"] = True
         entity_rows = None
+        emitted = h["emitted"]
         if packed_sizes is not None and emitted:
             # only finally-valid entity rows are upsampled+bitpacked and
-            # cross the (slow) D2H link; pad the gather index to a
-            # multiple of 8 so the gather/pack programs are shared
-            # across videos with similar counts
-            valid_final = np.asarray(pool.valid)
+            # cross the (slow) D2H link; pad the gather index to the
+            # next power of two so the gather/pack programs are shared
+            # across videos with similar counts WITHOUT inflating the
+            # transfer (padding 1 entity to 8 rows cost a measured
+            # ~1.15 s/video of dead D2H bytes on the ~16 MB/s tunnel —
+            # tools/probe_pipeline_phases.py)
+            valid_final = np.asarray(h["pool"].valid)
             entity_rows = np.flatnonzero(valid_final)
             if entity_rows.size:
-                pad = min((-entity_rows.size) % 8,
+                bucket = 1 << (int(entity_rows.size) - 1).bit_length()
+                pad = min(bucket - entity_rows.size,
                           valid_final.shape[0] - entity_rows.size)
                 idx = np.concatenate(
                     [entity_rows, np.repeat(entity_rows[-1:], pad)]
@@ -527,15 +534,72 @@ class EntityDriver:
                 ph, pw = packed_sizes[1]
                 emitted = [np.zeros((0, m.shape[1], ph, (pw + 7) // 8),
                                     np.uint8) for m in emitted]
+        h["emitted"] = emitted
+        h["entity_rows"] = entity_rows
         for m in emitted:
             try:  # overlap the window transfers where the runtime allows
                 m.copy_to_host_async()
             except Exception:
                 break
-        emitted = [np.asarray(m) for m in emitted]
-        emit_scores = [np.asarray(s) for s in emit_scores]
-        emit_valids = [np.asarray(v) for v in emit_valids]
-        return emitted, emit_starts, emit_scores, emit_valids, pool, entity_rows
+
+    def _fetch(self, h: Dict):
+        emitted = [np.asarray(m) for m in h["emitted"]]
+        emit_scores = [np.asarray(s) for s in h["emit_scores"]]
+        emit_valids = [np.asarray(v) for v in h["emit_valids"]]
+        return (emitted, h["emit_starts"], emit_scores, emit_valids,
+                h["pool"], h.get("entity_rows"))
+
+    def _stream(self, frames: np.ndarray, cls_emb: jnp.ndarray, divide: bool,
+                thing_mask: Optional[np.ndarray] = None,
+                packed_sizes=None):
+        """Dispatch + drain + fetch one video; returns (emitted mask
+        windows, window starts, score snapshots, valid snapshots, final
+        pool, entity_rows).  With ``packed_sizes`` set, windows come
+        back as bit-packed output-resolution masks of only the
+        finally-valid entity rows (``entity_rows`` maps rows to slots);
+        otherwise fp16 quarter-res logits of every slot."""
+        h = self._dispatch(frames, cls_emb, divide, thing_mask=thing_mask)
+        self._queue_drain(h, packed_sizes)
+        return self._fetch(h)
+
+    # -- VIS serving API -------------------------------------------------
+
+    def start_vis(self, frames: np.ndarray, cls_emb: jnp.ndarray,
+                  image_size=None, out_size=None,
+                  next_frames: Optional[np.ndarray] = None) -> Dict:
+        """Dispatch one video's full VIS compute without blocking.
+        Returns a handle for :meth:`finish_vis`.  ``next_frames`` (the
+        NEXT video) is uploaded behind this video's compute — read the
+        device array back from ``handle['next_frames_device']``.
+
+        The serving loop that keeps the chip busy end-to-end:
+
+            h = driver.start_vis(video0, cls_emb, next_frames=video1)
+            for v_next in videos[2:] + [None]:
+                h2 = driver.start_vis(h["next_frames_device"], cls_emb,
+                                      next_frames=v_next)
+                results = driver.finish_vis(h)   # host RLE work overlaps
+                h = h2                           # ... h2's device compute
+        """
+        V, H, W = frames.shape[:3]
+        image_size = tuple(image_size or (H, W))
+        out_size = tuple(out_size or image_size)
+        h = self._dispatch(frames, cls_emb, divide=True,
+                           next_frames=next_frames)
+        h["sizes"] = (image_size, out_size, (H, W))
+        return h
+
+    def finish_vis(self, h: Dict) -> List[Dict]:
+        """Drain + assemble a :meth:`start_vis` handle into per-entity
+        result dicts."""
+        image_size, out_size, padded_size = h["sizes"]
+        self._queue_drain(h, packed_sizes=h["sizes"])
+        emitted, emit_starts, emit_scores, _, pool, entity_rows = self._fetch(h)
+        return assemble_vis_results(
+            emitted, emit_starts, emit_scores, np.asarray(pool.valid),
+            np.asarray(pool.quality_sum), h["V"], image_size, out_size,
+            padded_size, packed_width=out_size[1], entity_rows=entity_rows,
+        )
 
     def run_vis(self, frames: np.ndarray, cls_emb: jnp.ndarray,
                 image_size=None, out_size=None) -> List[Dict]:
@@ -543,19 +607,8 @@ class EntityDriver:
         Returns per-entity dicts with per-frame RLEs + class scores
         matching the reference's results_list contract
         (inference_video_entity.py:914-961)."""
-        V, H, W = frames.shape[:3]
-        image_size = image_size or (H, W)
-        out_size = out_size or image_size
-
-        emitted, emit_starts, emit_scores, _, pool, entity_rows = self._stream(
-            frames, cls_emb, divide=True,
-            packed_sizes=(tuple(image_size), tuple(out_size), (H, W)),
-        )
-        return assemble_vis_results(
-            emitted, emit_starts, emit_scores, np.asarray(pool.valid),
-            np.asarray(pool.quality_sum), V, image_size, out_size, (H, W),
-            packed_width=out_size[1], entity_rows=entity_rows,
-        )
+        return self.finish_vis(self.start_vis(frames, cls_emb,
+                                              image_size, out_size))
 
 
     # ------------------------------------------------------------------

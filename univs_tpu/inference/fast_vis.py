@@ -282,3 +282,74 @@ class SemanticExtractionDriver:
             toks.append(np.asarray(e[:n]))
             mfs.append(np.asarray(m[:n]))
         return np.concatenate(toks), np.concatenate(mfs)
+
+
+def semantic_features_to_masks(
+    cfg,
+    params,
+    obj_tokens: np.ndarray,  # [T, C, Q] saved by SemanticExtractionDriver
+    mask_feats: np.ndarray,  # [T, h, w, C] compressed mask features
+    cls_emb: jnp.ndarray,  # [K, Dt] category bank
+    apply_cls_thres: float = 0.65,
+    apply_mask_quality_thres: float = 0.85,
+    temporal_stride: int = 10,
+    cls_start: int = 1000,
+    only_high_conf_masks: bool = True,
+):
+    """Reconstruct class logits + mask logits from SAVED semantic
+    features — the downstream consumer of the I7 extraction format
+    (reference: semantic_feature_to_mask.py:30-150
+    ``ConvertSemanticFeatureToMask.convert``).
+
+    The reference saves PRE-norm object tokens and applies
+    ``decoder_norm`` at load; our extraction driver saves the decoder's
+    ``pred_embds``, which are already decoder-normed — so this consumer
+    skips the norm and the end-to-end composition (pixels -> masks) is
+    identical.  Laws transcribed exactly: ``mask_embed`` MLP x mask-
+    feature einsum; ``vis2text_projection`` -> cosine similarity against
+    the L2-normalized category bank x ``exp(cls_temp)``; high-confidence
+    filter = sigmoid class score over categories [cls_start:] >
+    ``apply_cls_thres`` (the reference's ``[..., 1000:]`` video-dataset
+    slice of the combined bank) AND mask stability quality at
+    ``temporal_stride`` sub-sampling > ``apply_mask_quality_thres``.
+
+    Returns (cls_logits [n, T, K], mask_logits [n, T, h, w],
+    indices [n] of the kept queries).
+    """
+    from univs_tpu.inference.entity import mask_quality_scores
+    from univs_tpu.models.univs import build_decoder
+
+    dec = build_decoder(cfg)
+    tokens = jnp.asarray(obj_tokens).transpose(0, 2, 1)  # [T, Q, C]
+    mf = jnp.asarray(mask_feats, jnp.float32)
+
+    @jax.jit
+    def heads(dec_params, tokens, mf, cls_emb):
+        def run(m, tokens):
+            membed = m.mask_embed(tokens)  # [T, Q, mask_dim]
+            cls_feats = m.vis2text(tokens)  # [T, Q, Dt]
+            return membed, cls_feats
+
+        membed, cls_feats = dec.apply({"params": dec_params}, tokens, method=run)
+        masks = jnp.einsum("tqc,thwc->qthw", membed.astype(jnp.float32), mf)
+        c = cls_feats / jnp.maximum(
+            jnp.linalg.norm(cls_feats, axis=-1, keepdims=True), 1e-12)
+        k = cls_emb / jnp.maximum(
+            jnp.linalg.norm(cls_emb, axis=-1, keepdims=True), 1e-12)
+        logits = jnp.einsum("tqd,kd->qtk", c.astype(jnp.float32), k)
+        logits = logits * jnp.exp(dec_params["cls_temp"])
+        return logits, masks
+
+    cls_logits, mask_logits = heads(params["decoder"], tokens, mf, cls_emb)
+    cls_logits, mask_logits = np.asarray(cls_logits), np.asarray(mask_logits)
+    Q = mask_logits.shape[0]
+    if not only_high_conf_masks:
+        return cls_logits, mask_logits, np.arange(Q)
+
+    start = min(cls_start, cls_logits.shape[-1] - 1)
+    scores = 1.0 / (1.0 + np.exp(-cls_logits[..., start:]))
+    is_conf = scores.reshape(Q, -1).max(-1) > apply_cls_thres
+    qual = np.asarray(
+        mask_quality_scores(jnp.asarray(mask_logits[:, ::temporal_stride])))
+    keep = np.flatnonzero(is_conf & (qual > apply_mask_quality_thres))
+    return cls_logits[keep], mask_logits[keep], keep

@@ -79,28 +79,9 @@ def _build_batched_fns(cfg, backbone, modules, cc, stride, dtype):
 
         return jax.vmap(one)(pool)
 
-    @functools.partial(jax.jit, static_argnames=("out_frames", "sizes"))
-    def emit_packed_fn(pool, out_frames: int, sizes):
-        # device-side upsample+threshold+bitpack (see the driver's
-        # emit_packed_fn); the batch axis rides the entity chunking
-        from univs_tpu.inference.driver import _upsample_threshold_pack
-
-        image_size, out_size, padded_size = sizes
-
-        def one(p):
-            raw = p.mask_logits[:, :out_frames]
-            occ = jnp.maximum(p.occurrence[:, :out_frames], 1.0)
-            divided = raw / occ[:, :, None, None]
-            packed = _upsample_threshold_pack(divided, image_size, out_size,
-                                              padded_size)
-            scores = p.logits_sum / jnp.maximum(p.logits_count, 1)[:, None]
-            valid_snapshot = jnp.logical_or(p.valid, False)
-            return (packed, scores, valid_snapshot,
-                    mp.evict_window(p, out_frames))
-
-        return jax.vmap(one)(pool)
-
-    return encode_fn, clip_fn, shift_fn, emit_fn, emit_packed_fn
+    # (no batched emit_packed_fn: packing happens at the drain on only
+    # the finally-valid rows — _pack_rows — exactly as in EntityDriver)
+    return encode_fn, clip_fn, shift_fn, emit_fn
 
 
 class BatchedVISServer:
@@ -150,8 +131,7 @@ class BatchedVISServer:
                 cfg, self._backbone, self._modules, self.cc, self.stride, dtype
             )
             _DRIVER_JIT_MEMO[memo_key] = fns
-        (self._encode_fn, self._clip_fn, self._shift_fn, self._emit_fn,
-         self._emit_packed_fn) = fns
+        (self._encode_fn, self._clip_fn, self._shift_fn, self._emit_fn) = fns
 
     # ------------------------------------------------------------------
 
@@ -250,7 +230,10 @@ class BatchedVISServer:
                 rows = np.flatnonzero(valid_b[b])
                 entity_rows[b] = rows
                 if rows.size:
-                    pad = min((-rows.size) % 8, valid_b.shape[1] - rows.size)
+                    # power-of-two bucket (not %8): dead D2H rows are
+                    # ~150 ms/row/video on this link — see the driver
+                    bucket = 1 << (int(rows.size) - 1).bit_length()
+                    pad = min(bucket - rows.size, valid_b.shape[1] - rows.size)
                     idx = jnp.asarray(np.concatenate(
                         [rows, np.repeat(rows[-1:], pad)]).astype(np.int32))
                     emitted[b] = [_pack_rows(m[idx], packed_sizes)
