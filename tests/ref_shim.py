@@ -469,6 +469,25 @@ def load_reference_pixel_decoder_module():
     return importlib.import_module("mask2former.modeling.pixel_decoder.msdeformattn")
 
 
+def load_reference_pixel_decoder_vl_module():
+    """The real MSDeformAttnPixelDecoderVL + VLFuse bi-attention stack
+    (univs/modeling/pixel_decoder/msdeformattn_vl.py,
+    vision_lang_biattn_layers.py)."""
+    install()
+    import importlib
+
+    return importlib.import_module("univs.modeling.pixel_decoder.msdeformattn_vl")
+
+
+def load_reference_pvt_module():
+    """The real PVTv2 backbone (mask2former/modeling/backbone/pvt_v2.py)."""
+    install()
+    import importlib
+
+    _pkg("mask2former.modeling.backbone", f"{REF}/mask2former/modeling/backbone")
+    return importlib.import_module("mask2former.modeling.backbone.pvt_v2")
+
+
 def load_reference_davis_metrics():
     """The vendored davis2017-evaluation metrics kernel
     (univs/evaluation/davis2017_evaluation/davis2017/metrics.py) —

@@ -85,6 +85,11 @@ class VLFuse(nn.Module):
 
     @nn.compact
     def __call__(self, v, l, lang_valid=None):
+        # NOTE the residual law: the reference REASSIGNS v/l to the
+        # normed values before adding the scaled deltas
+        # (vision_lang_biattn_layers.py:192-202 — `v = self.layer_norm_v(v);
+        # ... v = v + self.drop_path(self.gamma_v * delta_v)`), so the
+        # residual base is the NORMED feature, not the block input.
         vn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm_v")(v).astype(v.dtype)
         ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm_l")(l).astype(l.dtype)
         dv, dl = BiMultiHeadAttention(
@@ -93,7 +98,7 @@ class VLFuse(nn.Module):
         )(vn, ln, lang_valid)
         gamma_v = self.param("gamma_v", nn.initializers.constant(1 / 6), (self.v_dim,), jnp.float32)
         gamma_l = self.param("gamma_l", nn.initializers.constant(1 / 6), (self.l_dim,), jnp.float32)
-        return v + gamma_v.astype(v.dtype) * dv, l + gamma_l.astype(l.dtype) * dl
+        return vn + gamma_v.astype(v.dtype) * dv, ln + gamma_l.astype(l.dtype) * dl
 
 
 class MSDeformAttnPixelDecoderVL(nn.Module):
@@ -146,8 +151,12 @@ class MSDeformAttnPixelDecoderVL(nn.Module):
         if lang.shape[0] != src.shape[0]:
             lang = jnp.broadcast_to(lang, (src.shape[0],) + lang.shape[1:])
         for li in range(self.num_layers):
+            # the reference builds VLFuse with embed_dim =
+            # dim_feedforward (msdeformattn_vl.py:37 `VLFuse(d_model,
+            # d_lang, dim_feedforward, nhead)`), NOT the GLIP default
             src, lang = VLFuse(
-                v_dim=C, l_dim=self.lang_dim, dtype=self.dtype, name=f"vl_fuse_{li}"
+                v_dim=C, l_dim=self.lang_dim, embed_dim=self.ffn_dim,
+                dtype=self.dtype, name=f"vl_fuse_{li}"
             )(src, lang, lang_valid)
             src = DeformableEncoderLayer(
                 d_model=C, ffn_dim=self.ffn_dim, n_levels=L,

@@ -108,6 +108,72 @@ def convert_pixel_decoder(sd: Dict[str, np.ndarray], num_layers: int = 6) -> Dic
     return out
 
 
+def convert_pixel_decoder_vl(sd: Dict[str, np.ndarray], num_layers: int = 6) -> Dict:
+    """'sem_seg_head.pixel_decoder.*' -> MSDeformAttnPixelDecoderVL
+    params.  Same layout as :func:`convert_pixel_decoder` plus the
+    per-layer VLFuse bi-attention stacks
+    (reference: univs/modeling/pixel_decoder/msdeformattn_vl.py —
+    ``transformer.encoder.vl_layers.{li}.b_attn``)."""
+    out = convert_pixel_decoder(sd, num_layers=num_layers)
+    p = "sem_seg_head.pixel_decoder."
+    for li in range(num_layers):
+        q = f"{p}transformer.encoder.vl_layers.{li}.b_attn."
+        out[f"vl_fuse_{li}"] = {
+            "layer_norm_v": _layernorm(sd, q + "layer_norm_v"),
+            "layer_norm_l": _layernorm(sd, q + "layer_norm_l"),
+            "gamma_v": sd[q + "gamma_v"],
+            "gamma_l": sd[q + "gamma_l"],
+            "attn": {
+                name: _linear(sd, q + "attn." + name)
+                for name in ("v_proj", "l_proj", "values_v_proj",
+                             "values_l_proj", "out_v_proj", "out_l_proj")
+            },
+        }
+    return out
+
+
+def _conv(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """torch Conv2d [out, in/groups, kh, kw] -> flax [kh, kw, in/g, out]."""
+    out = {"kernel": np.transpose(sd[prefix + ".weight"], (2, 3, 1, 0))}
+    if prefix + ".bias" in sd:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def convert_pvt(sd: Dict[str, np.ndarray], depths=(3, 4, 6, 3),
+                prefix: str = "backbone.") -> Dict:
+    """Reference PVTv2 state dict -> :class:`PVTv2` params
+    (mask2former/modeling/backbone/pvt_v2.py — ``patch_embed{i+1}``,
+    ``block{i+1}.{j}``, ``norm{i+1}``)."""
+    out: Dict = {}
+    for s in range(4):
+        p = f"{prefix}patch_embed{s + 1}."
+        out[f"patch_embed{s}"] = _conv(sd, p + "proj")
+        out[f"patch_norm{s}"] = _layernorm(sd, p + "norm")
+        for b in range(depths[s]):
+            q = f"{prefix}block{s + 1}.{b}."
+            attn = {
+                "q": _linear(sd, q + "attn.q"),
+                "kv": _linear(sd, q + "attn.kv"),
+                "proj": _linear(sd, q + "attn.proj"),
+            }
+            if q + "attn.sr.weight" in sd:
+                attn["sr"] = _conv(sd, q + "attn.sr")
+                attn["sr_norm"] = _layernorm(sd, q + "attn.norm")
+            out[f"stage{s}_block{b}"] = {
+                "norm1": _layernorm(sd, q + "norm1"),
+                "attn": attn,
+                "norm2": _layernorm(sd, q + "norm2"),
+                "mlp": {
+                    "fc1": _linear(sd, q + "mlp.fc1"),
+                    "dwconv": _conv(sd, q + "mlp.dwconv.dwconv"),
+                    "fc2": _linear(sd, q + "mlp.fc2"),
+                },
+            }
+        out[f"out_norm{s}"] = _layernorm(sd, f"{prefix}norm{s + 1}")
+    return out
+
+
 def _attn_block(sd, prefix: str, d: int) -> Dict:
     """torch {Self,Cross}AttentionLayer -> {attn:{q,k,v,out}, norm}."""
     key = "self_attn" if f"{prefix}.self_attn.in_proj_weight" in sd else "multihead_attn"
