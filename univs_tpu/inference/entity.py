@@ -74,6 +74,12 @@ class EntityClipConfig:
     # is empty) — reference DETECT_NEWLY_INTERVAL_FRAMES,
     # inference_video_entity.py:366
     detect_newly_interval_frames: int = 1
+    # measurement-only: skip named stages of the clip step so their cost
+    # can be attributed by whole-program deltas (standalone timing is
+    # dispatch-floor-bound on this part — docs/PERFORMANCE.md).  Known
+    # names: 'reencode', 'gate', 'newly', 'accum'.  Production configs
+    # leave this empty; tools/probe_clip_ablation.py is the consumer.
+    ablate: tuple = ()
 
 
 def entity_clip_step(
@@ -106,14 +112,15 @@ def entity_clip_step(
     # layers (process_per_video_inference: update_frames = 1 on the
     # first clip else T - clip_stride), so the kv read below sees this
     # clip's committed overlap frames fresh.
-    grid_feats, grid_pos = decoder.apply(
-        {"params": params["decoder"]}, ms[-1], fi, method="prompt_feature_grid"
-    )
-    n_update = jnp.where(is_first_clip, 1, T - cc.clip_stride)
-    pool = _reencode_prompts(
-        pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc,
-        first_frame=frame_indices[0],
-    )
+    if "reencode" not in cc.ablate:
+        grid_feats, grid_pos = decoder.apply(
+            {"params": params["decoder"]}, ms[-1], fi, method="prompt_feature_grid"
+        )
+        n_update = jnp.where(is_first_clip, 1, T - cc.clip_stride)
+        pool = _reencode_prompts(
+            pool, grid_feats[0], grid_pos[0], clip_offset, n_update, T, cc,
+            first_frame=frame_indices[0],
+        )
 
     # ---- memory-pool prompt queries ------------------------------------
     kv, kv_pe, kv_valid = mp.read_prompt_kv(pool, cc.num_prev_frames_memory)
@@ -138,7 +145,12 @@ def entity_clip_step(
     )
     Ql = cc.num_queries
     logits = jax.nn.sigmoid(out["pred_logits"][0].astype(jnp.float32))  # [Q, K]
-    masks = out["pred_masks"][0].astype(jnp.float32)  # [Q, T, H4, W4]
+    # masks stay in the decoder's compute dtype (bf16 on TPU): the
+    # upfront f32 cast materialized a 200 MB tensor per clip (~1.4 ms
+    # of pure writes) and doubled every downstream read.  All consumers
+    # are threshold counts / sign tests / f32-promoting reductions; the
+    # pool ring accumulation casts to its own f32 at the ring write.
+    masks = out["pred_masks"][0]  # [Q, T, H4, W4] compute dtype
     embds = out["pred_embds"][0].astype(jnp.float32)  # [Q, T, C]
 
     logits_l, logits_p = logits[:Ql], logits[Ql:]
@@ -146,33 +158,39 @@ def entity_clip_step(
     embds_l, embds_p = embds[:Ql], embds[Ql:]
 
     # ---- step 1: update tracked entities from prompt queries ----------
-    thr = jnp.where(is_first_clip | (frame_indices[0] < cc.num_frames),
-                    cc.consistency_thres * 0.5, cc.consistency_thres)
-    is_cons, sim_cons = mp.consistency_gate(
-        pool, embds_p, max(cc.num_prev_frames_memory // max(cc.clip_stride, 1), 3), thr
-    )
     q_p = mask_quality_scores(masks_p)
+    if "gate" not in cc.ablate:
+        thr = jnp.where(is_first_clip | (frame_indices[0] < cc.num_frames),
+                        cc.consistency_thres * 0.5, cc.consistency_thres)
+        is_cons, sim_cons = mp.consistency_gate(
+            pool, embds_p, max(cc.num_prev_frames_memory // max(cc.clip_stride, 1), 3), thr
+        )
 
-    # VIS overlap resolution (reference :477-491)
-    scores_track = (pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None]).max(-1)
-    cur_scores = scores_track * sim_cons * q_p  # [E]
-    prob = jax.nn.sigmoid(masks_p).reshape(E, -1)
-    is_bg = (prob < 0.5).all(0)
-    owner = jnp.argmax(cur_scores[:, None] * prob, axis=0)
-    owner = jnp.where(is_bg, -1, owner)
-    own_mask = owner[None, :] == jnp.arange(E)[:, None]
-    orig_area = jnp.maximum((prob > 0.5).sum(-1), 1)
-    own_area = own_mask.sum(-1)
-    above_ratio = (own_area / orig_area) > cc.overlap_thres
-    mask_over = (own_mask & (prob > 0.5)).any(-1)
-    update = is_cons & above_ratio & mask_over
+        # VIS overlap resolution (reference :477-491)
+        scores_track = (pool.logits_sum / jnp.maximum(pool.logits_count, 1)[:, None]).max(-1)
+        cur_scores = scores_track * sim_cons * q_p  # [E]
+        prob = jax.nn.sigmoid(masks_p).reshape(E, -1)
+        is_bg = (prob < 0.5).all(0)
+        owner = jnp.argmax(cur_scores[:, None] * prob, axis=0)
+        owner = jnp.where(is_bg, -1, owner)
+        own_mask = owner[None, :] == jnp.arange(E)[:, None]
+        orig_area = jnp.maximum((prob > 0.5).sum(-1), 1)
+        own_area = own_mask.sum(-1)
+        above_ratio = (own_area / orig_area) > cc.overlap_thres
+        mask_over = (own_mask & (prob > 0.5)).any(-1)
+        update = is_cons & above_ratio & mask_over
+    else:
+        update = pool.valid
 
-    pool = mp.accumulate_clip_masks(
-        pool, clip_offset, masks_p, embds_p.mean(1), update, q_p
-    )
+    if "accum" not in cc.ablate:
+        pool = mp.accumulate_clip_masks(
+            pool, clip_offset, masks_p, embds_p.mean(1), update, q_p
+        )
 
     # ---- step 2: detect newly entities from learnable queries ---------
-    if cc.variant == "pixel":
+    if "newly" in cc.ablate:
+        pool_new = pool
+    elif cc.variant == "pixel":
         pool_new = _detect_newly_pixel(
             pool, clip_offset, frame_indices, is_first_clip,
             logits_l, masks_l, embds_l, thing_mask, cc,
@@ -258,8 +276,13 @@ def _detect_newly_instance(
     pool_bin = (win > 0).reshape(E, -1)
     cand_bin = (c_masks > 0).reshape(c_masks.shape[0], -1)
     # intersection as a matmul (MXU) — the [Qc, E, THW] boolean
-    # broadcast is a VPU-bound reduction ~50x slower on this part
-    inter = cand_bin.astype(jnp.float32) @ pool_bin.astype(jnp.float32).T
+    # broadcast is a VPU-bound reduction ~50x slower on this part.
+    # bf16 0/1 operands are exact; accumulation forced f32 (counts up
+    # to T*H4*W4 overflow bf16), at half the materialized bytes
+    inter = jax.lax.dot(
+        cand_bin.astype(jnp.bfloat16), pool_bin.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
     union = jnp.maximum(cand_bin.sum(-1)[:, None] + pool_bin.sum(-1)[None] - inter, 1)
     miou_max = jnp.where(pool.valid[None], inter / union, 0.0).max(-1)
     conf = c_logits.max(-1)
@@ -344,7 +367,10 @@ def _detect_newly_pixel(
     win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
     pool_bin = (win > 0).reshape(E, -1)
     cand_bin = (masks_l > 0).reshape(Ql, -1)
-    inter = (cand_bin.astype(jnp.float32) @ pool_bin.astype(jnp.float32).T)
+    inter = jax.lax.dot(  # bf16 0/1 exact, f32 accumulate (see above)
+        cand_bin.astype(jnp.bfloat16), pool_bin.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
     union = jnp.maximum(
         cand_bin.sum(-1)[:, None] + pool_bin.sum(-1)[None] - inter, 1
     )
@@ -413,15 +439,22 @@ def _reencode_prompts(pool, grid_feats, grid_pos, clip_offset, n_update, T,
     cur_p = jnp.zeros((E, R, C), pool.prompt_pe.dtype)
     written = jnp.zeros((E,), bool)
     snaps_f, snaps_p, snaps_w = [], [], []
-    for k in range(T):  # static loop over key frames
+    # static loop bound: n_update is 1 on the first clip, else
+    # T - clip_stride — key frames beyond max(1, T - stride) can never
+    # commit (upd below requires k < n_update), so sampling them is
+    # dead work (1/5 of the re-encode at the reference stride 1)
+    n_keys = min(T, max(1, T - cc.clip_stride))
+    for k in range(n_keys):  # static loop over committable key frames
         win = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset + k, 1, axis=1)[:, 0]
         msk = (win > 0).astype(jnp.float32)
-        boxes = mask_ops.masks_to_boxes(msk) / jnp.array([W4, H4, W4, H4], jnp.float32)
         occur = msk.any(axis=(-2, -1))
+        # mask_only: every pool prompt is a mask prompt at inference —
+        # the box/point paths (incl. masks_to_boxes on [E, H4, W4]) are
+        # dead work the generic sampler would compute and discard
         sample = sample_visual_prompts(
-            grid_feats[k], grid_pos[k], msk, boxes, occur,
+            grid_feats[k], grid_pos[k], msk, None, occur,
             jnp.full((E,), 2, jnp.int32),  # mask prompts
-            cc.num_dense_points, rng=None, train=False,
+            cc.num_dense_points, rng=None, train=False, mask_only=True,
         )
         upd = (k < n_update) & pool.valid & sample.valid
         cur_f = jnp.where(upd[:, None, None], sample.kv, cur_f)

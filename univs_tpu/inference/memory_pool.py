@@ -54,7 +54,13 @@ class EntityMemory:
     # mask window (1/4 res): accumulated logits + occurrence counts
     mask_logits: jnp.ndarray  # [E, W, H4, W4]
     occurrence: jnp.ndarray  # [E, W]
-    boxes: jnp.ndarray  # [E, W, 4] normalized xyxy
+    # NOTE: the reference also keeps per-frame boxes in its annotations
+    # (write_newly_entities_into_annotations_per_clip) — they exist only
+    # to serve box-TYPE prompts, which the entity path never issues (the
+    # pool re-encode is mask-prompt, prompt_encoder.py:846 default).
+    # The rebuild dropped the field: maintaining it cost a per-clip
+    # masks_to_boxes over the accumulated [E, T, H4, W4] window with no
+    # reader anywhere (measured ~1.5 ms/clip of dead reductions).
     quality_sum: jnp.ndarray  # [E]
     # prompt memory pool (ProCA kv source)
     prompt_feats: jnp.ndarray  # [E, R, F_p, C]
@@ -95,7 +101,6 @@ def create_entity_memory(
         embds=z(E, Fe, C),
         mask_logits=z(E, W, H4, W4),
         occurrence=z(E, W),
-        boxes=z(E, W, 4),
         quality_sum=z(E),
         prompt_feats=z(E, R, Fp, C),
         prompt_pe=z(E, R, Fp, C),
@@ -147,11 +152,9 @@ def evict_window(pool: EntityMemory, out_frames: int) -> EntityMemory:
     emission (reference: inference_video_entity.py:394-397)."""
     z_m = jnp.zeros_like(pool.mask_logits[:, :out_frames])
     z_o = jnp.zeros_like(pool.occurrence[:, :out_frames])
-    z_b = jnp.zeros_like(pool.boxes[:, :out_frames])
     return pool.replace(
         mask_logits=jnp.concatenate([pool.mask_logits[:, out_frames:], z_m], axis=1),
         occurrence=jnp.concatenate([pool.occurrence[:, out_frames:], z_o], axis=1),
-        boxes=jnp.concatenate([pool.boxes[:, out_frames:], z_b], axis=1),
         window_start=pool.window_start + out_frames,
     )
 
@@ -264,14 +267,6 @@ def accumulate_clip_masks(
     occ = occ + jnp.where(update[:, None], nonblank, 0)
     oc = jax.lax.dynamic_update_slice_in_dim(pool.occurrence, occ, clip_offset, axis=1)
 
-    # boxes from accumulated mask logits > 0
-    bx_win = mask_ops.masks_to_boxes(win > 0) / jnp.array(
-        [W4, H4, W4, H4], jnp.float32
-    )
-    bx_old = jax.lax.dynamic_slice_in_dim(pool.boxes, clip_offset, T, axis=1)
-    bx = jnp.where(update[:, None, None], bx_win, bx_old)
-    boxes = jax.lax.dynamic_update_slice_in_dim(pool.boxes, bx, clip_offset, axis=1)
-
     # embds: (old + new) / (nonblank_old + 1) at the last ring slot
     old = pool.embds[:, -1]
     nonblank_e = (old != 0).any(-1)
@@ -279,7 +274,7 @@ def accumulate_clip_masks(
     embds = pool.embds.at[:, -1].set(jnp.where(update[:, None], new_e, old))
 
     return pool.replace(
-        mask_logits=ml, occurrence=oc, boxes=boxes, embds=embds,
+        mask_logits=ml, occurrence=oc, embds=embds,
         quality_sum=pool.quality_sum + jnp.where(update, quality, 0.0),
     )
 
@@ -414,21 +409,26 @@ def admit_entities(
             jnp.where(admit.reshape((-1,) + (1,) * extra_dims), src, dst[idx.clip(0, E - 1)])
         )
 
-    W = pool.mask_logits.shape[1]
-    # window-aligned mask placement
-    mask_full = jnp.zeros((Qc, W) + masks.shape[-2:], pool.mask_logits.dtype)
-    mask_full = jax.lax.dynamic_update_slice_in_dim(mask_full, masks.astype(mask_full.dtype), clip_offset, axis=1)
-    occ_full = jnp.zeros((Qc, W), pool.occurrence.dtype)
-    occ_full = jax.lax.dynamic_update_slice_in_dim(
-        occ_full, jnp.ones((Qc, T), pool.occurrence.dtype), clip_offset, axis=1
-    )
-    H4, W4 = masks.shape[-2:]
-    box_full = jnp.zeros((Qc, W, 4), jnp.float32)
-    bx = mask_ops.masks_to_boxes(masks > 0) / jnp.array([W4, H4, W4, H4], jnp.float32)
-    box_full = jax.lax.dynamic_update_slice_in_dim(box_full, bx, clip_offset, axis=1)
+    # Window-sliced ring scatter.  Admitted slots were free, and free
+    # slots' ring rows are all-zero by invariant (rows start zero, every
+    # ring write is gated to valid/admitted slots, ``valid`` is never
+    # cleared, and evict_window zero-fills) — so scattering only the
+    # clip's T-frame window slice equals the reference's full-row write
+    # (zeros elsewhere) at 1/W the traffic.  The full-row variant
+    # materialized a [Qc, W, H4, W4] zero tensor (~160 MB at production
+    # geometry) and scattered full [W, H4, W4] rows (~3 ms/clip).
+    win_m = jax.lax.dynamic_slice_in_dim(pool.mask_logits, clip_offset, T, axis=1)
+    win_o = jax.lax.dynamic_slice_in_dim(pool.occurrence, clip_offset, T, axis=1)
+    win_m = _scatter_where(win_m, slot_for_cand, masks.astype(win_m.dtype), admit)
+    win_o = _scatter_where(win_o, slot_for_cand, jnp.ones((Qc, T), pool.occurrence.dtype), admit)
+    mask_logits = jax.lax.dynamic_update_slice_in_dim(pool.mask_logits, win_m, clip_offset, axis=1)
+    occurrence = jax.lax.dynamic_update_slice_in_dim(pool.occurrence, win_o, clip_offset, axis=1)
 
-    emb_full = jnp.zeros((Qc,) + pool.embds.shape[1:], pool.embds.dtype)
-    emb_full = emb_full.at[:, -1].set(embds_mean)
+    # embds ring: only the last history slot gets the candidate mean;
+    # earlier slots of a free slot are already zero (same invariant)
+    embds = pool.embds.at[:, -1].set(
+        _scatter_where(pool.embds[:, -1], slot_for_cand, embds_mean, admit)
+    )
 
     return pool.replace(
         valid=_scatter_bool(pool.valid, slot_for_cand, admit),
@@ -436,10 +436,9 @@ def admit_entities(
         logits_sum=_scatter_where(pool.logits_sum, slot_for_cand, logits, admit),
         logits_count=_scatter_where(pool.logits_count, slot_for_cand, jnp.ones((Qc,), pool.logits_count.dtype), admit),
         logits_last=_scatter_where(pool.logits_last, slot_for_cand, logits, admit),
-        embds=_scatter_where(pool.embds, slot_for_cand, emb_full, admit),
-        mask_logits=_scatter_where(pool.mask_logits, slot_for_cand, mask_full, admit),
-        occurrence=_scatter_where(pool.occurrence, slot_for_cand, occ_full, admit),
-        boxes=_scatter_where(pool.boxes, slot_for_cand, box_full, admit),
+        embds=embds,
+        mask_logits=mask_logits,
+        occurrence=occurrence,
         quality_sum=_scatter_where(pool.quality_sum, slot_for_cand, quality, admit),
     )
 

@@ -117,12 +117,24 @@ def sample_visual_prompts(
     rng: Optional[jax.Array] = None,
     train: bool = False,
     mask_thresh: float = 0.5,
+    mask_only: bool = False,
 ) -> PromptSample:
     """Encode one key frame's annotations into R-point prompt sets.
 
     Mirrors get_{point,box,mask}_prompt + get_dense_features
     (prompt_encoder.py:82-497) for all three types at once, selected
     per instance by ``prompt_flags``.
+
+    ``mask_only``: static fast path for the per-clip pool re-encode,
+    where every prompt is a mask (prompt_flags all 2, inference only) —
+    skips the box-grid build, the box dense-point top-k, and the point
+    argmax, which are computed-and-discarded otherwise.  Numerically
+    identical to the generic path at prompt_flags==2.  Measured
+    whole-program: ~neutral at E=60 on the 1/8 grid (the clip step's
+    re-encode cost is the mask top-k + gathers + ring writes, not the
+    dead branches — tools/probe_clip_ablation.py), kept because it also
+    admits ``boxes_key=None`` (the caller's masks_to_boxes was real
+    dead work) and halves the sampler's compiled size.
     """
     H, W, C = img_feats_key.shape
     Qp = masks_key.shape[0]
@@ -140,6 +152,18 @@ def sample_visual_prompts(
     # the reference gathers arbitrary pixels that are zeroed downstream
     thr = jnp.minimum(mask_thresh, fm_flat.max())
     mask_binary = (fm_flat >= jnp.maximum(thr, 1e-6)) & (fm_flat > 0)
+
+    if mask_only:
+        assert not train
+        u = (HW - jnp.arange(HW, dtype=jnp.float32))[None] / HW
+        mask_idx, n_mask = _cyclic_dense_select(mask_binary.astype(jnp.float32) * u, R)
+        kv = feats_flat[mask_idx]
+        kv_pe = pos_flat[mask_idx]
+        valid = occur_key & (n_mask > 0)
+        kv_valid = jnp.broadcast_to(valid[:, None], (Qp, R))
+        kv = kv * kv_valid[..., None]
+        kv_pe = kv_pe * kv_valid[..., None]
+        return PromptSample(kv=kv, kv_pe=kv_pe, kv_valid=kv_valid, valid=valid)
 
     box_binary = _box_grid_mask(boxes_key, H, W).reshape(Qp, HW)
 
