@@ -32,6 +32,18 @@ from flax import linen as nn
 from univs_tpu.ops.deformable_attention import ms_deform_attn
 from univs_tpu.ops.position_encoding import SinePositionEncoding3D
 
+# TPU-only fused kernels (ops/msda_rows.py, ops/fused_mlp.py); module
+# flag so probes can A/B the unfused path (tools/probe_encode_attrib.py)
+_FUSED_ENCODER = True
+
+
+def _use_fused(mod: nn.Module) -> bool:
+    return (
+        _FUSED_ENCODER
+        and jax.default_backend() == "tpu"
+        and not mod.is_initializing()
+    )
+
 
 def _msda_offset_bias_init(n_heads: int, n_levels: int, n_points: int):
     """Direction-grid init for sampling-offset bias (deformable DETR).
@@ -77,6 +89,27 @@ class MSDeformAttnLayer(nn.Module):
 
         value = nn.Dense(C, dtype=self.dtype, name="value_proj")(value_src)
         value = value.reshape(N, -1, M, head_dim)
+
+        if _use_fused(self):
+            # fused sampling path (ops/msda_rows.py): ONE Pallas kernel
+            # computes both Dense projections, the (L*P) softmax, the
+            # sampling-location arithmetic, and writes the tent kernels'
+            # packed row array directly — the unfused path below
+            # materializes ~250 MB/layer of offsets/transposes that
+            # exist only to be re-laid-out (probe_glue.py: 6.7 ms of
+            # the 42.9 ms encoder layer).  Params created by the init
+            # trace of the unfused path; custom VJP differentiates the
+            # gather law.  Valid because reference points here are the
+            # static pixel-center grid (no padding masks — module doc).
+            from univs_tpu.ops.msda_rows import msda_sample_fused
+
+            po = self.get_variable("params", "sampling_offsets")
+            pa = self.get_variable("params", "attention_weights")
+            out = msda_sample_fused(
+                value, query, po["kernel"], po["bias"], pa["kernel"],
+                pa["bias"], tuple(spatial_shapes), M, P,
+            )
+            return nn.Dense(C, dtype=self.dtype, name="output_proj")(out)
 
         offsets = nn.Dense(
             M * L * P * 2,
@@ -129,6 +162,21 @@ class DeformableEncoderLayer(nn.Module):
             dtype=self.dtype,
             name="self_attn",
         )(q, reference_points, src, spatial_shapes)
+        if _use_fused(self):
+            # fused residual+LN+FFN Pallas kernel: keeps the [tokens,
+            # ffn_dim] hidden activation in VMEM instead of a 161 MB
+            # HBM round-trip per layer (ops/fused_mlp.py).  The unfused
+            # path below runs at init (creating the identical param
+            # tree) and on non-TPU backends.
+            from univs_tpu.ops.fused_mlp import fused_ffn_ln
+
+            return fused_ffn_ln(
+                src, attn_out,
+                self.get_variable("params", "norm1"),
+                self.get_variable("params", "linear1"),
+                self.get_variable("params", "linear2"),
+                self.get_variable("params", "norm2"),
+            )
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn_out)
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(src)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(nn.relu(y))

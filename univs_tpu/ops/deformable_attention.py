@@ -43,7 +43,7 @@ neighbours contribute zero.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -639,6 +639,89 @@ def _msda_tent_win_level(slab_jmajor, xs, ys, was, D: int, P: int, Hw: int,
                                  interpret=interpret)
 
 
+def tent_row_pad(num_points: int = 4) -> int:
+    """Row-block multiple the packed tent kernels require (the kernels
+    chunk bq rows of sub whole-query groups — both multiples of P)."""
+    sub = max(num_points, (_TENT_SUB // num_points) * num_points)
+    return max(sub, (_TENT_BQ // sub) * sub)
+
+
+def ms_deform_attn_tent_rows(
+    value: jnp.ndarray,  # [N, S, M, D]
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    rows_all: jnp.ndarray,  # [N, Rp, L*3M] packed rows (see module doc)
+    num_queries: int,
+    num_points: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tent-matmul MSDA forward from a PRE-PACKED row array.
+
+    ``rows_all`` carries per level the lane block [x(M), y(M), wa(M)]
+    with x/y in pixel coords (``loc*size - 0.5``), rows point-minor
+    (row = q*P + p), padded to :func:`tent_row_pad` with inert rows
+    (coords -10, weights 0).  Production entry for the fused row-builder
+    kernel (ops/msda_rows.py); every level takes a packed variant
+    (2D-tent for tiny levels, windowed otherwise)."""
+    N, S, M, D = value.shape
+    Lq, P = num_queries, num_points
+    R = Lq * P
+
+    starts = [0]
+    for (h, w) in spatial_shapes:
+        starts.append(starts[-1] + h * w)
+
+    out = jnp.zeros((N, Lq, M, D), jnp.float32)
+    col0 = 0
+    for lid, (h, w) in enumerate(spatial_shapes):
+        vl = value[:, starts[lid] : starts[lid + 1]]  # [N, S_l, M, D]
+        hw = _tent_window_rows(h, D)
+        if h * w <= _TENT2D_MAX_S:
+            slab2d = jnp.moveaxis(vl, 2, 1)  # [N, M, S_l, D] raster
+            o = _msda_tent2d_packed(slab2d, rows_all, R, D, P, w, col0,
+                                    interpret=interpret)
+        else:
+            slab = jnp.moveaxis(vl, 2, 1).reshape(N, M, h, w, D)
+            slab = slab.transpose(0, 1, 3, 2, 4).reshape(N, M, w, h * D)  # j-major
+            o = _msda_tent_win_packed(slab, rows_all, R, D, P, hw or h, col0,
+                                      interpret=interpret)
+        col0 += 3 * M
+        out = out + o
+    return out.reshape(N, Lq, M * D).astype(value.dtype)
+
+
+def pack_tent_rows(
+    spatial_shapes: Tuple[Tuple[int, int], ...],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    level_mask: Optional[Sequence[bool]] = None,
+) -> jnp.ndarray:
+    """XLA row packing (the fused kernel's reference law): per-level
+    pixel coords + weights as point-minor (query, point) rows, all
+    levels in one lane-packed array, block-padded with inert rows."""
+    N, Lq, M, L, P, _ = sampling_locations.shape
+    R = Lq * P
+    packed_cols = []
+    for lid, (h, w) in enumerate(spatial_shapes):
+        if level_mask is not None and not level_mask[lid]:
+            continue
+        loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P, 2]
+        wa = attention_weights[:, :, :, lid]  # [N, Lq, M, P]
+        packed_cols += [
+            (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, R, M),
+            (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, R, M),
+            wa.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, R, M),
+        ]
+    rows_all = jnp.concatenate(packed_cols, axis=2)
+    pad = (-R) % tent_row_pad(P)
+    if pad:
+        # inert pad rows: far-outside coords -> zero tents -> zero output
+        # (weight lanes padded -10 too — harmless, they only multiply
+        # tents that are zero for every in-range pixel)
+        rows_all = jnp.pad(rows_all, ((0, 0), (0, pad), (0, 0)),
+                           constant_values=-10.0)
+    return rows_all
+
+
 def ms_deform_attn_tent(
     value: jnp.ndarray,
     spatial_shapes: Tuple[Tuple[int, int], ...],
@@ -670,16 +753,6 @@ def ms_deform_attn_tent(
         return "2d" if h * w <= _TENT2D_MAX_S else "win"
 
     variants = [pick(h, w) for (h, w) in spatial_shapes]
-    # per-level pixel coords + weights as (query, point) rows [N, R, M]
-    cols, R = [], Lq * P
-    for lid, (h, w) in enumerate(spatial_shapes):
-        loc = sampling_locations[:, :, :, lid]  # [N, Lq, M, P, 2]
-        wa = attention_weights[:, :, :, lid]  # [N, Lq, M, P]
-        cols.append((
-            (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, R, M),
-            (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, R, M),
-            wa.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, R, M),
-        ))
 
     # ONE packed row array shared by every packed-kernel level (blocks
     # [x(M), y(M), wa(M)] per level): the per-row lane count is padded
@@ -687,17 +760,12 @@ def ms_deform_attn_tent(
     # cuts the materialized row bytes (and their writes) by ~L x.
     rows_all = None
     if any(v in ("2d", "win") for v in variants):
-        sub = max(P, (_TENT_SUB // P) * P)
-        bq = max(sub, (_TENT_BQ // sub) * sub)
-        packed_cols = [c for lid, v in enumerate(variants) if v in ("2d", "win")
-                       for c in cols[lid]]
-        rows_all = jnp.concatenate(packed_cols, axis=2)
-        pad = (-R) % bq
-        if pad:
-            # inert pad rows: far-outside coords -> zero tents -> zero output
-            rows_all = jnp.pad(rows_all, ((0, 0), (0, pad), (0, 0)),
-                               constant_values=-10.0)
+        rows_all = pack_tent_rows(
+            spatial_shapes, sampling_locations, attention_weights,
+            level_mask=[v in ("2d", "win") for v in variants],
+        )
 
+    R = Lq * P
     out = jnp.zeros((N, Lq, M, D), jnp.float32)
     col0 = 0
     for lid, (h, w) in enumerate(spatial_shapes):
@@ -716,7 +784,11 @@ def ms_deform_attn_tent(
                                       interpret=interpret)
             col0 += 3 * M
         else:
-            x, y, was = cols[lid]
+            loc = sampling_locations[:, :, :, lid]
+            wa_l = attention_weights[:, :, :, lid]
+            x = (loc[..., 0].astype(jnp.float32) * w - 0.5).transpose(0, 1, 3, 2).reshape(N, R, M)
+            y = (loc[..., 1].astype(jnp.float32) * h - 0.5).transpose(0, 1, 3, 2).reshape(N, R, M)
+            was = wa_l.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(N, R, M)
             slab = jnp.moveaxis(vl, 2, 1).reshape(N, M, h, w, D)
             slab = slab.transpose(0, 1, 3, 4, 2).reshape(N, M, w, D * h)  # d-major
             o = _msda_tent_level(slab, x, y, was, D, P, interpret=interpret,
