@@ -11,9 +11,11 @@ model.  This splits one steady-state iteration into:
   fetch          - np.asarray of packed windows + scores
   assemble       - host RLE encoding
 
-    python tools/probe_pipeline_phases.py
+    python tools/probe_pipeline_phases.py               # bench video, E~1
+    python tools/probe_pipeline_phases.py --occupancy   # blobs, E~30
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -34,8 +36,23 @@ def main():
     from univs_tpu.inference.driver import EntityDriver, assemble_vis_results
     from univs_tpu.models.univs import UniVSModel
     from univs_tpu.structures import TextPrompts
+    from univs_tpu.utils.synth import synth_blob_video
 
+    occupancy = "--occupancy" in sys.argv
     cfg = UniVSConfig(dtype="bfloat16")
+    if occupancy:
+        # same admission flooring as tools/bench_occupancy.py: fill the
+        # pool toward capacity so drain/fetch/assemble run at E~30
+        cfg = dataclasses.replace(
+            cfg,
+            inference=dataclasses.replace(
+                cfg.inference,
+                apply_cls_thres=0.0,
+                newly_entity_thres=2.0,
+                consistency_thres=(0.0, 0.0),
+                nms_thres=1.5,
+            ),
+        )
     model = UniVSModel(cfg)
     T = cfg.inference.num_frames
     h, w = 640, 960
@@ -55,7 +72,8 @@ def main():
                           text_prompts=tp, cls_emb=cls_emb)
 
     params = init_fn(jax.random.PRNGKey(0), images, jnp.arange(T)[None])["params"]
-    video = np.asarray(rng.rand(V, h, w, 3) * 255, np.uint8)
+    video = (synth_blob_video(V, h, w, n_blobs=24, seed=0) if occupancy
+             else np.asarray(rng.rand(V, h, w, 3) * 255, np.uint8))
     driver = EntityDriver(cfg, params, num_classes=K,
                           capacity=cfg.inference.max_num_instances)
     log("warm-up...")
